@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class RenderConfig:
     # Sampling (reference CLI flags: -s, -l, -m; application.h:43-87)
     spp: int = 4                      # -s: camera samples per pixel (ns_aa)
@@ -30,6 +30,8 @@ class RenderConfig:
     samples_per_batch: int = 32             # -a <batch> (adaptive sampling)
     max_tolerance: float = 0.05             # -a <tol>
     adaptive_sampling: bool = False         # reference disables for BDPT (bidirection.cpp:516)
+    pt_reference_nee: bool = True           # replicate the reference's area-light
+                                            # NEE estimator quirk (see ops/lights.py)
 
     # Thin lens (unidirectional only; reference camera_lens.cpp:22-43)
     lens_radius: float = 0.0          # -b

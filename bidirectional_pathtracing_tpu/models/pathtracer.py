@@ -1,0 +1,194 @@
+"""Unidirectional path tracer with next-event estimation (wavefront).
+
+Port of the *semantics* of the reference PathTracer
+(reference src/pathtracer/pathtracer.cpp) to a fixed-shape lax.scan
+wavefront: the recursive at_least_one_bounce_radiance (pathtracer.cpp:190-255)
+becomes a bounce loop over a [S]-sample wavefront with active masks.
+
+Reference behaviors preserved:
+  - zero-bounce emission at the primary hit (pathtracer.cpp:167-174,275)
+  - per-light NEE with ns_area_light samples and shadow rays
+    (estimate_direct_lighting_importance, pathtracer.cpp:102-165), skipped
+    at delta vertices (pathtracer.cpp:206)
+  - emission re-added after delta bounces, since NEE cannot see deltas
+    (pathtracer.cpp:240-242)
+  - depth cap max_ray_depth; Russian roulette mode when max_ray_depth == 0
+    (continue-prob 0.3, hard cap 20; pathtracer.cpp:211-222)
+  - optional hemisphere direct sampling (-H; pathtracer.cpp:47-100)
+  - environment light on primary miss (pathtracer.cpp:271-272); secondary
+    misses terminate without env contribution, as in the reference
+  - thin-lens camera rays (raytrace_pixel uses generate_ray_for_thin_lens,
+    pathtracer.cpp:311-312)
+  - adaptive sampling with the 95% CI rule (pathtracer.cpp:301-333) is
+    implemented in the renderer driver (utils/render.py), not here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from bidirectional_pathtracing_tpu.config import RenderConfig
+from bidirectional_pathtracing_tpu.core.math import (
+    EPS_F, INF_D, make_coord_space, to_local, to_world, normalize,
+)
+from bidirectional_pathtracing_tpu.core import samplers
+from bidirectional_pathtracing_tpu.ops import bsdf as bsdf_ops
+from bidirectional_pathtracing_tpu.ops import lights as light_ops
+from bidirectional_pathtracing_tpu.ops import camera_ops
+from bidirectional_pathtracing_tpu.ops.intersect import intersect, occluded
+from bidirectional_pathtracing_tpu.scene.types import Scene
+
+
+def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, key, cfg: RenderConfig):
+    """estimate_direct_lighting_importance for a wavefront.
+
+    Averages cfg.light_samples NEE samples per light and sums over lights
+    (pathtracer.cpp:121-156).  Delta lights are deterministic so averaging
+    identical samples reproduces the reference's single-sample rule.
+    """
+    nl = light_ops.num_lights(scene.lights)
+    if nl == 0:
+        return jnp.zeros_like(hit_p)
+    o2w = make_coord_space(hit_n)
+    w_out = to_local(o2w, w_out_w)
+    total = jnp.zeros_like(hit_p)
+    for li in range(nl):
+        acc = jnp.zeros_like(hit_p)
+        for si in range(cfg.light_samples):
+            k = jax.random.fold_in(jax.random.fold_in(key, li), si)
+            idx = jnp.full(hit_p.shape[:-1], li, jnp.int32)
+            s = light_ops.sample_L(scene.lights, idx, hit_p, k,
+                                   reference_quirks=cfg.pt_reference_nee)
+            wi = to_local(o2w, s.wi)
+            f = bsdf_ops.eval_f(scene.materials, mid, w_out, wi)
+            max_t = jnp.where(s.dist >= INF_D, INF_D, s.dist - EPS_F)
+            blocked = occluded(scene.geometry, hit_p, s.wi, EPS_F, max_t)
+            cos = jnp.abs(jnp.sum(s.wi * hit_n, axis=-1))
+            contrib = (s.radiance * f * (cos / jnp.maximum(s.pdf, 1e-12))[..., None])
+            acc += jnp.where(blocked[..., None], 0.0, contrib)
+        total += acc / cfg.light_samples
+    return total
+
+
+def _nee_hemisphere(scene: Scene, hit_p, hit_n, w_out_w, mid, key,
+                    cfg: RenderConfig):
+    """estimate_direct_lighting_hemisphere (pathtracer.cpp:47-100):
+    sample the BSDF, trace, and collect emission of whatever is hit."""
+    nl = max(light_ops.num_lights(scene.lights), 1)
+    n_samples = nl * cfg.light_samples
+    o2w = make_coord_space(hit_n)
+    w_out = to_local(o2w, w_out_w)
+    acc = jnp.zeros_like(hit_p)
+    for i in range(n_samples):
+        k = jax.random.fold_in(key, i)
+        bs = bsdf_ops.sample(scene.materials, mid, w_out, k)
+        wi_w = normalize(to_world(o2w, bs.wi))
+        h = intersect(scene.geometry, hit_p, wi_w, EPS_F, INF_D)
+        emit = bsdf_ops.emission(scene.materials, h.mat)
+        cos = jnp.abs(jnp.sum(wi_w * hit_n, axis=-1))
+        contrib = emit * bs.f * (cos / bs.pdf)[..., None]
+        acc += jnp.where(h.valid[..., None], contrib, 0.0)
+    return acc / n_samples
+
+
+def trace_radiance(scene: Scene, o, d, key, cfg: RenderConfig):
+    """est_radiance_global_illumination for a wavefront of camera rays.
+
+    o, d: [S,3].  Returns L [S,3].
+    """
+    rr = cfg.max_ray_depth == 0
+    n_bounces = cfg.rr_depth_cap if rr else max(cfg.max_ray_depth - 1, 0)
+
+    hit = intersect(scene.geometry, o, d, scene.camera.nclip,
+                    scene.camera.fclip)
+    L = jnp.zeros_like(o)
+    if scene.envmap is not None:
+        from bidirectional_pathtracing_tpu.ops import envlight
+        env = envlight.sample_dir(scene.envmap, d)
+        L += jnp.where(hit.valid[..., None], 0.0, env)
+    # zero bounce (pathtracer.cpp:275)
+    L += jnp.where(hit.valid[..., None],
+                   bsdf_ops.emission(scene.materials, hit.mat), 0.0)
+
+    throughput = jnp.ones_like(o)
+    alive = hit.valid
+    hit_p = o + hit.t[..., None] * d
+    ray_d = d
+
+    def bounce(carry, b):
+        L, throughput, alive, hit_p, ray_d, hit_n, mid = carry
+        k = jax.random.fold_in(key, b)
+        k_nee, k_bsdf, k_rr = jax.random.split(k, 3)
+
+        delta = bsdf_ops.is_delta(scene.materials, mid)
+        if cfg.direct_hemisphere_sample:
+            direct = _nee_hemisphere(scene, hit_p, hit_n, -ray_d, mid,
+                                     k_nee, cfg)
+        else:
+            direct = _nee(scene, hit_p, hit_n, -ray_d, mid, k_nee, cfg)
+        L += jnp.where((alive & ~delta)[..., None], throughput * direct, 0.0)
+
+        # continuation (pathtracer.cpp:211-238)
+        cont = alive
+        rr_scale = 1.0
+        if rr:
+            keep = samplers.coin_flip(k_rr, cfg.rr_cpdf, alive.shape)
+            cont = cont & keep
+            rr_scale = 1.0 / cfg.rr_cpdf
+        o2w = make_coord_space(hit_n)
+        w_out = to_local(o2w, -ray_d)
+        bs = bsdf_ops.sample(scene.materials, mid, w_out, k_bsdf)
+        wi_w = normalize(to_world(o2w, bs.wi))
+        nxt = intersect(scene.geometry, hit_p, wi_w, EPS_F, INF_D)
+        cos = jnp.abs(jnp.sum(wi_w * hit_n, axis=-1))
+        weight = bs.f * (cos / bs.pdf)[..., None] * rr_scale
+
+        # delta vertices add the child emission (pathtracer.cpp:240-242)
+        child_emit = bsdf_ops.emission(scene.materials, nxt.mat)
+        L += jnp.where((cont & nxt.valid & delta)[..., None],
+                       throughput * weight * child_emit, 0.0)
+
+        throughput = jnp.where(cont[..., None], throughput * weight,
+                               throughput)
+        alive = cont & nxt.valid
+        hit_p = jnp.where(alive[..., None],
+                          hit_p + nxt.t[..., None] * wi_w, hit_p)
+        ray_d = jnp.where(alive[..., None], wi_w, ray_d)
+        hit_n = jnp.where(alive[..., None], nxt.n, hit_n)
+        mid = jnp.where(alive, nxt.mat, mid)
+        return (L, throughput, alive, hit_p, ray_d, hit_n, mid), None
+
+    carry = (L, throughput, alive, hit_p, ray_d, hit.n, hit.mat)
+    if n_bounces > 0:
+        carry, _ = jax.lax.scan(bounce, carry, jnp.arange(n_bounces))
+
+    # Final vertex still runs direct lighting (the reference's deepest
+    # at_least_one_bounce call does NEE before trace=false).
+    L, throughput, alive, hit_p, ray_d, hit_n, mid = carry
+    k = jax.random.fold_in(key, n_bounces)
+    delta = bsdf_ops.is_delta(scene.materials, mid)
+    if cfg.direct_hemisphere_sample:
+        direct = _nee_hemisphere(scene, hit_p, hit_n, -ray_d, mid, k, cfg)
+    else:
+        direct = _nee(scene, hit_p, hit_n, -ray_d, mid, k, cfg)
+    L += jnp.where((alive & ~delta)[..., None], throughput * direct, 0.0)
+    return L
+
+
+def sample_camera_rays(scene: Scene, key, width, height, pixel_ids,
+                       cfg: RenderConfig):
+    """Jittered primary rays for flat pixel ids [S] (raytrace_pixel setup:
+    bidirection.cpp:513-524 / pathtracer.cpp:298-312)."""
+    px = (pixel_ids % width).astype(jnp.float32)
+    py = (pixel_ids // width).astype(jnp.float32)
+    k_aa, k_lens = jax.random.split(key)
+    u = jax.random.uniform(k_aa, pixel_ids.shape + (2,))
+    x = (px + u[..., 0]) / width
+    y = (py + u[..., 1]) / height
+    if cfg.integrator == "pt":
+        # reference PT uses the thin-lens generator (pathtracer.cpp:311-312)
+        ul = jax.random.uniform(k_lens, pixel_ids.shape + (2,))
+        return camera_ops.generate_ray_thin_lens(
+            scene.camera, x, y, ul[..., 0], ul[..., 1] * 2.0 * jnp.pi)
+    return camera_ops.generate_ray(scene.camera, x, y)

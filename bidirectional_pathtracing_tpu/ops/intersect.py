@@ -1,0 +1,203 @@
+"""Ray-scene intersection (closest hit + any hit / shadow rays).
+
+Numerical semantics match the reference primitives exactly:
+  - Möller–Trumbore triangles with barycentric-interpolated smooth normals
+    (reference src/scene/triangle.cpp:57-95)
+  - quadratic ray-sphere with nearer-root preference and analytic normals
+    (reference src/scene/sphere.cpp:11-93)
+  - closest-hit via global min over primitives, equivalent to the
+    reference's mutable ray.max_t shrinking (bvh.cpp:161-188)
+  - segment any-hit semantics for shadow rays ([min_t, max_t] clipping,
+    bidirection.cpp:423-430)
+
+The wavefront design replaces per-ray BVH recursion with batched primitive
+streams: rays are a [R] wavefront; primitives are scanned in fixed-size
+chunks via lax.scan so peak memory stays [R, CHUNK].  For the shipped
+Cornell-box scenes (12-30k triangles) this is the fast path on TPU — fully
+regular, no divergence, VPU-saturating.  A BVH path (scene/bvh.py +
+ops.bvh_traverse) covers large meshes.
+
+Hits are treated as non-differentiable (stop_gradient at the call sites):
+gradients w.r.t. materials/emission flow through the shading algebra only.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bidirectional_pathtracing_tpu.core.math import INF_D
+from bidirectional_pathtracing_tpu.scene.types import Geometry
+
+_TRI_CHUNK = 512
+_SPH_CHUNK = 128
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray        # f32 [R]  (INF_D when miss)
+    valid: jnp.ndarray    # bool [R]
+    n: jnp.ndarray        # f32 [R,3] shading normal (unnormalised ok? no: unit)
+    mat: jnp.ndarray      # int32 [R] material id (-1 on miss)
+    prim: jnp.ndarray     # int32 [R] global prim id (-1 on miss)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_axis0(a: jnp.ndarray, n: int):
+    pad = n - a.shape[0]
+    if pad == 0:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+
+def tri_intersect_batch(o, d, p0, p1, p2, min_t, max_t):
+    """Möller–Trumbore for a [R] ray wavefront against [T] triangles.
+
+    Returns (t[R,T], b1[R,T], b2[R,T], hit[R,T]).  o,d: [R,3]; p*: [T,3];
+    min_t/max_t: [R].
+    """
+    e1 = p1 - p0                      # [T,3]
+    e2 = p2 - p0
+    s = o[:, None, :] - p0[None]      # [R,T,3]
+    s1 = jnp.cross(d[:, None, :], e2[None])        # [R,T,3]
+    s2 = jnp.cross(s, e1[None])                    # [R,T,3]
+    denom = jnp.sum(s1 * e1[None], axis=-1)        # [R,T]
+    inv = jnp.where(denom == 0, 0.0, 1.0 / jnp.where(denom == 0, 1.0, denom))
+    t = jnp.sum(s2 * e2[None], axis=-1) * inv
+    b1 = jnp.sum(s1 * s, axis=-1) * inv
+    b2 = jnp.sum(s2 * d[:, None, :], axis=-1) * inv
+    hit = ((denom != 0) & (t >= min_t[:, None]) & (t <= max_t[:, None])
+           & (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1))
+    return t, b1, b2, hit
+
+
+def sphere_intersect_batch(o, d, c, r, min_t, max_t):
+    """Quadratic sphere test (sphere.cpp:11-57) for [R] rays x [Q] spheres.
+
+    Returns (t[R,Q], hit[R,Q]) taking the nearer in-range root.
+    """
+    oc = o[:, None, :] - c[None]                   # [R,Q,3]
+    a = jnp.sum(d * d, axis=-1)[:, None]           # [R,1]
+    b = 2.0 * jnp.sum(oc * d[:, None, :], axis=-1)  # [R,Q]
+    cc = jnp.sum(oc * oc, axis=-1) - (r * r)[None]
+    delta = b * b - 4.0 * a * cc
+    ok = delta >= 0
+    sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+    t1 = (-b - sq) / (2.0 * a)
+    t2 = (-b + sq) / (2.0 * a)
+    t1_in = (t1 >= min_t[:, None]) & (t1 <= max_t[:, None])
+    t2_in = (t2 >= min_t[:, None]) & (t2 <= max_t[:, None])
+    t = jnp.where(t1_in, t1, t2)
+    hit = ok & (t1_in | t2_in)
+    return t, hit
+
+
+def intersect(geom: Geometry, o, d, min_t, max_t) -> Hit:
+    """Closest-hit over all primitives.  o,d: [R,3]; min_t,max_t: [R] or scalar."""
+    r_count = o.shape[0]
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r_count,))
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r_count,))
+
+    best_t = jnp.full((r_count,), INF_D, o.dtype)
+    best_n = jnp.zeros((r_count, 3), o.dtype)
+    best_mat = jnp.full((r_count,), -1, jnp.int32)
+    best_prim = jnp.full((r_count,), -1, jnp.int32)
+
+    num_t = geom.num_tris
+    tc = min(_TRI_CHUNK, _ceil_to(max(num_t, 1), 8))
+    tp = _ceil_to(num_t, tc)
+    tri_p = _pad_axis0(geom.tri_p, tp).reshape(tp // tc, tc, 3, 3)
+    tri_n = _pad_axis0(geom.tri_n, tp).reshape(tp // tc, tc, 3, 3)
+    tri_mat = _pad_axis0(geom.tri_mat, tp).reshape(tp // tc, tc)
+    tri_valid = _pad_axis0(geom.tri_valid, tp).reshape(tp // tc, tc)
+    tri_base = jnp.arange(tp, dtype=jnp.int32).reshape(tp // tc, tc)
+
+    def tri_step(carry, chunk):
+        bt, bn, bm, bp = carry
+        cp, cn, cm, cv, cid = chunk
+        t, b1, b2, hit = tri_intersect_batch(
+            o, d, cp[:, 0], cp[:, 1], cp[:, 2], min_t, jnp.minimum(max_t, bt))
+        hit = hit & cv[None, :]
+        t = jnp.where(hit, t, INF_D)
+        j = jnp.argmin(t, axis=-1)                   # [R]
+        rows = jnp.arange(r_count)
+        tj = t[rows, j]
+        closer = tj < bt
+        b1j = b1[rows, j][:, None]
+        b2j = b2[rows, j][:, None]
+        nj = (cn[j, 0] * (1.0 - b1j - b2j) + cn[j, 1] * b1j + cn[j, 2] * b2j)
+        nj = nj / jnp.maximum(
+            jnp.linalg.norm(nj, axis=-1, keepdims=True), 1e-20)
+        bt = jnp.where(closer, tj, bt)
+        bn = jnp.where(closer[:, None], nj, bn)
+        bm = jnp.where(closer, cm[j], bm)
+        bp = jnp.where(closer, cid[j], bp)
+        return (bt, bn, bm, bp), None
+
+    if num_t > 0:
+        (best_t, best_n, best_mat, best_prim), _ = jax.lax.scan(
+            tri_step, (best_t, best_n, best_mat, best_prim),
+            (tri_p, tri_n, tri_mat, tri_valid, tri_base))
+
+    # spheres (few; single batch)
+    num_q = geom.num_spheres
+    if num_q > 0:
+        t, hit = sphere_intersect_batch(
+            o, d, geom.sph_c, geom.sph_r, min_t, jnp.minimum(max_t, best_t))
+        hit = hit & geom.sph_valid[None, :]
+        t = jnp.where(hit, t, INF_D)
+        j = jnp.argmin(t, axis=-1)
+        rows = jnp.arange(r_count)
+        tj = t[rows, j]
+        closer = tj < best_t
+        p_hit = o + tj[:, None] * d
+        nrm = p_hit - geom.sph_c[j]
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+        best_n = jnp.where(closer[:, None], nrm, best_n)
+        best_mat = jnp.where(closer, geom.sph_mat[j], best_mat)
+        best_prim = jnp.where(closer, num_t + j.astype(jnp.int32), best_prim)
+        best_t = jnp.where(closer, tj, best_t)
+
+    valid = best_t < INF_D
+    return Hit(t=best_t, valid=valid, n=best_n, mat=best_mat, prim=best_prim)
+
+
+def occluded(geom: Geometry, o, d, min_t, max_t) -> jnp.ndarray:
+    """Any-hit [R] for shadow segments (visibility test).
+
+    Mirrors the reference's use of bvh->intersect on a [EPS, dist-EPS]
+    segment (bidirection.cpp:418-433); implemented without the reference's
+    leaf-miss traversal bug (bvh.cpp:142-157), which the reference never
+    exercises for shadow rays because it calls the closest-hit path.
+    """
+    r_count = o.shape[0]
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r_count,))
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r_count,))
+    hit_any = jnp.zeros((r_count,), bool)
+
+    num_t = geom.num_tris
+    if num_t > 0:
+        tc = min(_TRI_CHUNK, _ceil_to(max(num_t, 1), 8))
+        tp = _ceil_to(num_t, tc)
+        tri_p = _pad_axis0(geom.tri_p, tp).reshape(tp // tc, tc, 3, 3)
+        tri_valid = _pad_axis0(geom.tri_valid, tp).reshape(tp // tc, tc)
+
+        def step(carry, chunk):
+            cp, cv = chunk
+            _, _, _, hit = tri_intersect_batch(
+                o, d, cp[:, 0], cp[:, 1], cp[:, 2], min_t, max_t)
+            return carry | jnp.any(hit & cv[None, :], axis=-1), None
+
+        hit_any, _ = jax.lax.scan(step, hit_any, (tri_p, tri_valid))
+
+    if geom.num_spheres > 0:
+        _, hit = sphere_intersect_batch(
+            o, d, geom.sph_c, geom.sph_r, min_t, max_t)
+        hit_any = hit_any | jnp.any(hit & geom.sph_valid[None, :], axis=-1)
+    return hit_any

@@ -51,26 +51,15 @@ def _xform_point_nodiv(T: np.ndarray, p: np.ndarray) -> np.ndarray:
 
 
 def _vertex_normals(vertices: np.ndarray, polygons) -> np.ndarray:
-    """Area-weighted vertex normals (halfEdgeMesh.h:492-515).
+    """Vertex normals via the faithful halfedge walk (see scene/halfedge.py).
 
-    For each face and each of its vertices, add cross(pj-pi, pk-pi) where
-    (pi,pj,pk) are the vertex and its two successors around the face, then
-    normalize per vertex.  For triangle faces every corner contributes the
-    same 2*area*face_normal, matching the reference exactly.
+    NOT plain area-weighted winding normals: the reference's boundary-vertex
+    walk flips orientation on open meshes (all Cornell-box walls), which the
+    one-sided diffuse BSDF depends on.
     """
-    normals = np.zeros_like(vertices)
-    for poly in polygons:
-        idx = np.asarray(poly)
-        n = len(idx)
-        p = vertices[idx]
-        for i in range(n):
-            pi = p[i]
-            pj = p[(i + 1) % n]
-            pk = p[(i + 2) % n]
-            normals[idx[i]] += np.cross(pj - pi, pk - pi)
-    lens = np.linalg.norm(normals, axis=-1, keepdims=True)
-    lens = np.where(lens < 1e-20, 1.0, lens)
-    return normals / lens
+    from bidirectional_pathtracing_tpu.scene.halfedge import (
+        compute_vertex_normals)
+    return compute_vertex_normals(vertices, polygons)
 
 
 def _material_record(mat: C.MaterialInfo | None) -> dict:
@@ -217,13 +206,24 @@ def _place_camera(cam_info, c_dir, bbox_lo, bbox_hi, screen_w, screen_h,
     if cam_info is None:
         cam_info = C.CameraInfo()
     hfov, vfov = cam_info.hfov, cam_info.vfov
-    # configure (camera.cpp:29-47): widen the narrow FOV axis to the screen
+    # The reference configures the camera at the Application's default
+    # 800x600 window (application.cpp:97, load->init_camera->configure) and
+    # only then resizes to the render resolution via set_screen_size
+    # (application.cpp:188-191), which recomputes the FOV from the
+    # 800x600-derived screenDist (camera.cpp:83-89).  Net effect: the
+    # effective FOV depends on the output resolution (narrower for
+    # 480x360).  Replicated here for image parity.
+    cfg_w, cfg_h = 800, 600
     ar1 = np.tan(np.radians(hfov) / 2) / np.tan(np.radians(vfov) / 2)
-    ar = screen_w / screen_h
+    ar = cfg_w / cfg_h
     if ar1 < ar:
         hfov = np.degrees(2 * np.arctan(np.tan(np.radians(vfov) / 2) * ar))
     elif ar1 > ar:
         vfov = np.degrees(2 * np.arctan(np.tan(np.radians(hfov) / 2) / ar))
+    screen_dist = cfg_h / (2 * np.tan(np.radians(vfov) / 2))
+    if (screen_w, screen_h) != (cfg_w, cfg_h):
+        hfov = np.degrees(2 * np.arctan(screen_w / (2 * screen_dist)))
+        vfov = np.degrees(2 * np.arctan(screen_h / (2 * screen_dist)))
 
     if np.all(np.isfinite(bbox_lo)):
         target = (bbox_lo + bbox_hi) / 2

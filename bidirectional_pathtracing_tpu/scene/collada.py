@@ -192,8 +192,13 @@ class _Parser:
         for e in xml:
             tag = e.tag
             if tag == "matrix":
+                # Short matrices are zero-padded: the reference streams 16
+                # values into a zero-initialised Matrix4x4, so failed reads
+                # stay 0 (CBgems.dae ships a 15-value camera matrix).
                 vals = _floats(e.text)
-                local = vals.reshape(4, 4)
+                if vals.size < 16:
+                    vals = np.concatenate([vals, np.zeros(16 - vals.size)])
+                local = vals[:16].reshape(4, 4)
                 break  # reference collada.cpp:268: matrix wins, stop scanning
             if tag == "rotate":
                 # Reference quirk (collada.cpp:272-299): reads the first 4
@@ -288,7 +293,9 @@ class _Parser:
 
     def parse_light(self, xml) -> LightInfo:
         light = LightInfo()
-        tech = _technique_cgl(xml) or _technique_common(xml)
+        tech = _technique_cgl(xml)
+        if tech is None:
+            tech = _technique_common(xml)
         if tech is None:
             raise ValueError("no supported profile in light")
         e = next(iter(tech), None)

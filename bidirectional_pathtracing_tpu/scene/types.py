@@ -228,7 +228,9 @@ def make_materials(records) -> Materials:
 
 
 def make_lights(records) -> Lights:
-    ell = max(len(records), 1)
+    # No padding: the static light count is Lights.kind.shape[0]; a scene
+    # with zero lights gets zero-length arrays (callers branch on count).
+    ell = len(records)
 
     def field(name, dim, default):
         out = np.full((ell, dim) if dim > 1 else (ell,), default, np.float32)

@@ -1,0 +1,137 @@
+"""Render driver: sample accumulation, adaptive sampling, stats.
+
+Plays the role of RaytracedRenderer (reference
+src/pathtracer/raytraced_renderer.cpp) without the thread pool: the frame
+is a flat [W*H] wavefront; one jitted step renders one sample-per-pixel
+pass; the host loop accumulates passes on device.  Work distribution across
+chips happens in parallel/render.py via shard_map over the same step.
+
+Implements:
+  - sample accumulation buffers (eye/light/combined, bidirection.h:81)
+  - adaptive sampling with the 95% CI rule for the unidirectional
+    integrator (pathtracer.cpp:301-333), batched by cfg.samples_per_batch;
+    deliberately disabled for BDPT like the reference (bidirection.cpp:516)
+  - end-of-run stats: wall time, rays traced, Mrays/s
+    (raytraced_renderer.cpp:677-683)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bidirectional_pathtracing_tpu.config import RenderConfig
+from bidirectional_pathtracing_tpu.scene.types import Scene
+
+
+@dataclasses.dataclass
+class RenderResult:
+    combined: np.ndarray            # [H,W,3] (eye + light for BDPT)
+    eye: Optional[np.ndarray]       # [H,W,3] BDPT eye image
+    light: Optional[np.ndarray]     # [H,W,3] BDPT light image
+    sample_counts: np.ndarray       # [H,W] samples actually taken
+    stats: dict
+
+
+def _estimate_rays_per_sample(cfg: RenderConfig, num_lights: int) -> float:
+    """Rough ray count per camera sample for the Mrays/s stat (the
+    reference counts BVH queries, bvh.h:136)."""
+    d = max(cfg.max_ray_depth, 1)
+    if cfg.integrator == "bdpt":
+        # eye walk + light walk + one shadow ray per (s,t) connection
+        return 2 * d + (d + 1) * (d + 1) * 0.5
+    return d * (1 + num_lights * cfg.light_samples)
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def _pt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
+    from bidirectional_pathtracing_tpu.models import pathtracer as pt
+    pix = jnp.arange(width * height, dtype=jnp.int32)
+    k_cam, k_trace = jax.random.split(key)
+    o, d = pt.sample_camera_rays(scene, k_cam, width, height, pix, cfg)
+    L = pt.trace_radiance(scene, o, d, k_trace, cfg)
+    return L
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def _bdpt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
+    from bidirectional_pathtracing_tpu.models import bdpt
+    pix = jnp.arange(width * height, dtype=jnp.int32)
+    return bdpt.sample_pass(scene, key, width, height, pix, cfg)
+
+
+def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None) -> RenderResult:
+    """Render a full frame.  Returns HDR buffers with rows bottom-up
+    (pixel (0,0) = bottom-left, matching the reference sample buffer)."""
+    from bidirectional_pathtracing_tpu.ops import lights as light_ops
+
+    w, h = cfg.width, cfg.height
+    key = jax.random.key(cfg.seed if seed is None else seed)
+    t0 = time.perf_counter()
+
+    if cfg.integrator == "bdpt":
+        eye = jnp.zeros((h * w, 3))
+        light = jnp.zeros((h * w, 3))
+        for i in range(cfg.spp):
+            k = jax.random.fold_in(key, i)
+            eye_i, light_i = _bdpt_step(scene, k, cfg, w, h)
+            eye = eye + eye_i / cfg.spp
+            light = light + light_i  # splats already carry 1/ns_aa
+        eye = np.asarray(jax.block_until_ready(eye)).reshape(h, w, 3)
+        light = np.asarray(light).reshape(h, w, 3)
+        combined = eye + light
+        counts = np.full((h, w), cfg.spp, np.int32)
+    else:
+        eye = light = None
+        acc = jnp.zeros((h * w, 3))
+        s1 = jnp.zeros((h * w,))
+        s2 = jnp.zeros((h * w,))
+        counts_dev = jnp.zeros((h * w,), jnp.int32)
+        active = jnp.ones((h * w,), bool)
+        batch = cfg.samples_per_batch if cfg.adaptive_sampling else cfg.spp
+        done = 0
+        while done < cfg.spp:
+            n = min(batch, cfg.spp - done)
+            for i in range(n):
+                k = jax.random.fold_in(key, done + i)
+                L = _pt_step(scene, k, cfg, w, h)
+                acc = acc + jnp.where(active[:, None], L, 0.0)
+                lum = jnp.sum(L * jnp.array([0.2126, 0.7152, 0.0722]), -1)
+                s1 = s1 + jnp.where(active, lum, 0.0)
+                s2 = s2 + jnp.where(active, lum * lum, 0.0)
+                counts_dev = counts_dev + active.astype(jnp.int32)
+            done += n
+            if cfg.adaptive_sampling and done < cfg.spp:
+                nn = counts_dev.astype(jnp.float32)
+                mu = s1 / jnp.maximum(nn, 1)
+                var = jnp.maximum(s2 - s1 * s1 / jnp.maximum(nn, 1), 0.0) \
+                    / jnp.maximum(nn - 1, 1)
+                ci = 1.96 * jnp.sqrt(var / jnp.maximum(nn, 1))
+                converged = (ci <= cfg.max_tolerance * mu) & (mu > 1e-5)
+                active = active & ~converged
+                if not bool(jnp.any(active)):
+                    break
+        counts_np = np.asarray(jax.block_until_ready(counts_dev))
+        combined = (np.asarray(acc)
+                    / np.maximum(counts_np, 1)[:, None]).reshape(h, w, 3)
+        counts = counts_np.reshape(h, w)
+
+    dt = time.perf_counter() - t0
+    n_samples = int(counts.sum())
+    rays = n_samples * _estimate_rays_per_sample(
+        cfg, light_ops.num_lights(scene.lights))
+    stats = {
+        "wall_time_s": dt,
+        "camera_samples": n_samples,
+        "camera_samples_per_s": n_samples / dt,
+        "est_rays": rays,
+        "est_mrays_per_s": rays / dt / 1e6,
+    }
+    return RenderResult(combined=combined, eye=eye, light=light,
+                        sample_counts=counts, stats=stats)
