@@ -1,0 +1,463 @@
+"""Bidirectional path tracer (Veach BDPT) — wavefront, fully vectorized.
+
+Port of the *math* of the reference BidirectionalPathTracer
+(reference src/pathtracer/bidirection.cpp) to fixed-shape JAX:
+
+  - prepare_bidirectional_subpath (bidirection.cpp:20-102) becomes a
+    lax.scan random walk producing per-vertex arrays with the exact
+    recurrences  v.p = p_{i-1} * pdf_{i-1} * G  and
+    alpha_i = alpha_{i-1} * |cos(prev_n, d)| * f_{i-1} / pdf_{i-1}.
+  - sample_light_ray (bidirection.cpp:105-118): uniform light pick,
+    point_pdf /= num_lights.
+  - estimate_bidirection_radiance (bidirection.cpp:296-469): all (s,t)
+    connection combos enumerated statically; the four cases (t=0 eye hits
+    light; t=1 fresh light sample; s=1 camera connection with pixel
+    reprojection and light-image splats; general s,t>1) computed under
+    masks.
+  - multiple_importance_sampling_weight (bidirection.cpp:121-293): the
+    pdf-ratio walks along both subpaths, power-2 heuristic, with the
+    delta-vertex skip rule (bidirection.cpp:216-219, 284-287).  Like the
+    reference, BSDF::sample_pdf is invoked with a zero wo vector
+    (bidirection.cpp:150 "filled with empty for now").
+  - Russian roulette is disabled (q == 1 everywhere), matching the
+    reference's commented-out roulette (bidirection.cpp:87-93).
+
+Subpath vertex indexing matches the reference: index 1 is the camera /
+light-source vertex, surface vertices run 2..max_depth+1 (the walk stops
+once i >= max_ray_depth + 1, bidirection.cpp:84-86).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bidirectional_pathtracing_tpu.config import RenderConfig
+from bidirectional_pathtracing_tpu.core.math import (
+    EPS_F, INF_D, make_coord_space, normalize, to_local, to_world,
+)
+from bidirectional_pathtracing_tpu.ops import bsdf as bsdf_ops
+from bidirectional_pathtracing_tpu.ops import camera_ops
+from bidirectional_pathtracing_tpu.ops import lights as light_ops
+from bidirectional_pathtracing_tpu.ops.intersect import (
+    intersect, occluded_segment)
+from bidirectional_pathtracing_tpu.scene.types import Scene
+
+
+class Subpath(NamedTuple):
+    """Vertex arrays [S, NV+1, ...]; slot 0 unused (the reference's pseudo
+    v0), slot 1 = camera/light vertex, slots 2.. = surface vertices."""
+
+    pos: jnp.ndarray      # [S,NV+1,3]
+    n: jnp.ndarray        # [S,NV+1,3]  isect normal (v1: init normal)
+    alpha: jnp.ndarray    # [S,NV+1,3]
+    p: jnp.ndarray        # [S,NV+1]    cumulative area-measure pdf
+    mat: jnp.ndarray      # [S,NV+1]    material id (-1 at v1 / invalid)
+    valid: jnp.ndarray    # [S,NV+1]
+    dir_pdf: jnp.ndarray  # [S]         v1 directional pdf (light/eye start)
+
+
+def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
+                     init_normal, key, nv: int, first_min_t, first_max_t):
+    """Random walk producing a Subpath with nv real vertices (1..nv)."""
+    s = o.shape[0]
+
+    v1_alpha = init_radiance / point_pdf[..., None]
+
+    def step(carry, xs):
+        (o, d, prev_pdf, prev_f, prev_n, alpha_prev, p_prev, alive,
+         min_t, max_t) = carry
+        k = xs
+        hit = intersect(scene.geometry, o, d, min_t, max_t)
+        alive = alive & hit.valid
+        hit_p = o + hit.t[..., None] * d
+
+        cos_prev = jnp.abs(jnp.sum(prev_n * d, axis=-1))
+        g = cos_prev * jnp.abs(jnp.sum(hit.n * d, axis=-1)) \
+            / jnp.maximum(hit.t * hit.t, 1e-12)
+        p_i = p_prev * prev_pdf * g
+        alpha_i = alpha_prev * (cos_prev / prev_pdf)[..., None] * prev_f
+
+        # next direction
+        o2w = make_coord_space(hit.n)
+        w_out = to_local(o2w, -d)
+        bs = bsdf_ops.sample(scene.materials, hit.mat, w_out, k)
+        wi_w = normalize(to_world(o2w, bs.wi))
+
+        out = (hit_p, hit.n, alpha_i, p_i, hit.mat, alive)
+        carry = (hit_p, wi_w, bs.pdf, bs.f, hit.n, alpha_i, p_i, alive,
+                 jnp.full((s,), EPS_F), jnp.full((s,), INF_D))
+        return carry, out
+
+    keys = jax.random.split(key, max(nv - 1, 1))
+    # prev_pdf starts at the v1 directional pdf (bidirection.cpp:41)
+    init = (o, d, jnp.maximum(dir_pdf, 1e-12), jnp.ones((s, 3)), init_normal,
+            v1_alpha, point_pdf, jnp.ones((s,), bool),
+            jnp.broadcast_to(first_min_t, (s,)),
+            jnp.broadcast_to(first_max_t, (s,)))
+    if nv > 1:
+        _, outs = jax.lax.scan(step, init, keys[:nv - 1])
+        pos_s, n_s, alpha_s, p_s, mat_s, valid_s = outs  # each [nv-1, S, ...]
+    else:
+        pos_s = jnp.zeros((0, s, 3))
+        n_s = jnp.zeros((0, s, 3))
+        alpha_s = jnp.zeros((0, s, 3))
+        p_s = jnp.zeros((0, s))
+        mat_s = jnp.zeros((0, s), jnp.int32)
+        valid_s = jnp.zeros((0, s), bool)
+
+    def stack(v1, rest, extra_dims):
+        # [S, nv+1, ...]: slot0 zero, slot1 = v1, slots 2.. = walk outputs
+        zero = jnp.zeros_like(v1)
+        return jnp.concatenate(
+            [zero[:, None], v1[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
+
+    return Subpath(
+        pos=stack(o, pos_s, 3),
+        n=stack(init_normal, n_s, 3),
+        alpha=stack(v1_alpha, alpha_s, 3),
+        p=stack(point_pdf, p_s, 0),
+        mat=jnp.concatenate([
+            jnp.full((s, 2), -1, jnp.int32), jnp.moveaxis(mat_s, 0, 1)],
+            axis=1),
+        valid=jnp.concatenate([
+            jnp.zeros((s, 1), bool), jnp.ones((s, 1), bool),
+            jnp.moveaxis(valid_s, 0, 1)], axis=1),
+        dir_pdf=dir_pdf,
+    )
+
+
+def _vert(path: Subpath, i: int):
+    """Static-index vertex view: dict of [S,...] arrays."""
+    return dict(pos=path.pos[:, i], n=path.n[:, i], alpha=path.alpha[:, i],
+                p=path.p[:, i], mat=path.mat[:, i], valid=path.valid[:, i])
+
+
+def _sample_pdf_ref(scene, mat, wi_world, n):
+    """bsdf->sample_pdf(wo=empty, wi) in the local frame of n
+    (reference bidirection.cpp:150,189)."""
+    o2w = make_coord_space(n)
+    wi = to_local(o2w, wi_world)
+    wo = jnp.zeros_like(wi)
+    return bsdf_ops.sample_pdf(scene.materials, mat, wo, wi)
+
+
+def _is_delta(scene, mat):
+    return bsdf_ops.is_delta(scene.materials, mat)
+
+
+def _seg(a_pos, b_pos):
+    """Direction a->b (unit), distance."""
+    d = b_pos - a_pos
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-20))
+    return d / dist[..., None], dist
+
+
+def _mis_weight(scene: Scene, i_eye: int, i_light: int,
+                eye: Subpath, light: Subpath,
+                light_sample: dict | None, eye_sample: dict | None,
+                eye_on_light_pdfs):
+    """multiple_importance_sampling_weight (bidirection.cpp:121-293).
+
+    eye_on_light_pdfs: (found, point_pdf, dir_pdf_fn) for the t=0 case,
+    where dir_pdf_fn(w_world) returns the light's directional pdf for
+    emitting along w (only used when i_light == 0).
+    """
+    s = eye.pos.shape[0]
+    w_inv = jnp.ones((s,))
+    ratio = jnp.ones((s,))
+
+    # --- eye-path walk (i from i_eye down to 2) ---------------------------
+    for i in range(i_eye, 1, -1):
+        cur = _vert(eye, i)
+        if i == i_eye:
+            prev = light_sample if i_light == 1 else _vert(light, i_light) \
+                if i_light > 0 else None
+        else:
+            prev = _vert(eye, i + 1)
+        nxt = _vert(eye, i - 1)
+
+        # numerator: pdf of sampling cur from prev (times geometry)
+        if i_light == 0 and i == i_eye:
+            found, point_pdf, _ = eye_on_light_pdfs
+            p = point_pdf
+            g = jnp.ones((s,))
+            nom_invalid = ~found  # weight 0 if endpoint is not on a light
+        else:
+            wi_world, dist = _seg(prev["pos"], cur["pos"])
+            g = jnp.abs(jnp.sum(wi_world * prev["n"], axis=-1)
+                        * jnp.sum(wi_world * cur["n"], axis=-1)) \
+                / jnp.maximum(dist * dist, 1e-12)
+            if i_light == 1 and i == i_eye:
+                p = light_sample["dir_pdf"]
+            elif i_light == 0 and i == i_eye - 1:
+                found, _, dir_pdf_fn = eye_on_light_pdfs
+                p = dir_pdf_fn(wi_world)
+            else:
+                p = _sample_pdf_ref(scene, prev["mat"], wi_world, prev["n"])
+            nom_invalid = jnp.zeros((s,), bool)
+        nom = p * g
+
+        # denominator: pdf of sampling cur from next (the actual strategy)
+        wi_world2, dist2 = _seg(nxt["pos"], cur["pos"])
+        if i == 2:
+            p2 = jnp.ones((s,))
+            g2 = jnp.ones((s,))
+        else:
+            g2 = jnp.abs(jnp.sum(wi_world2 * nxt["n"], axis=-1)
+                         * jnp.sum(wi_world2 * cur["n"], axis=-1)) \
+                / jnp.maximum(dist2 * dist2, 1e-12)
+            p2 = _sample_pdf_ref(scene, nxt["mat"], wi_world2, nxt["n"])
+        denom = p2 * g2
+
+        ratio = ratio * nom / jnp.maximum(denom, 1e-20)
+        ratio = jnp.where(nom_invalid, jnp.nan, ratio)
+
+        skip = _is_delta(scene, cur["mat"]) | _is_delta(scene, nxt["mat"])
+        w_inv = w_inv + jnp.where(skip, 0.0, ratio * ratio)
+
+    if i_light == 0:
+        found, _, _ = eye_on_light_pdfs
+        zero_weight = ~found
+    else:
+        zero_weight = jnp.zeros((s,), bool)
+
+    # --- light-path walk (i from i_light down to 1) -----------------------
+    ratio = jnp.ones((s,))
+    for i in range(i_light, 0, -1):
+        cur = _vert(light, i)
+        if i == i_light:
+            prev = eye_sample if i_eye == 1 else _vert(eye, i_eye)
+        else:
+            prev = _vert(light, i + 1)
+        nxt = _vert(light, i - 1)
+
+        wi_world, dist = _seg(prev["pos"], cur["pos"])
+        if i_eye <= 1 and i == i_light:
+            p = eye_sample["dir_pdf"]
+        else:
+            p = _sample_pdf_ref(scene, prev["mat"], wi_world, prev["n"])
+        g = jnp.abs(jnp.sum(wi_world * prev["n"], axis=-1)
+                    * jnp.sum(wi_world * cur["n"], axis=-1)) \
+            / jnp.maximum(dist * dist, 1e-12)
+        nom = p * g
+
+        if i > 1:
+            wi_world2, dist2 = _seg(nxt["pos"], cur["pos"])
+            if i == 2:
+                p2 = light.dir_pdf  # light v1's directional pdf
+            else:
+                p2 = _sample_pdf_ref(scene, nxt["mat"], wi_world2, nxt["n"])
+            g2 = jnp.abs(jnp.sum(wi_world2 * nxt["n"], axis=-1)
+                         * jnp.sum(wi_world2 * cur["n"], axis=-1)) \
+                / jnp.maximum(dist2 * dist2, 1e-12)
+            denom = p2 * g2
+        else:
+            denom = cur["p"]  # area pdf of the light-source vertex
+        ratio = ratio * nom / jnp.maximum(denom, 1e-20)
+
+        skip = _is_delta(scene, cur["mat"]) | _is_delta(scene, nxt["mat"])
+        w_inv = w_inv + jnp.where(skip, 0.0, ratio * ratio)
+
+    w = 1.0 / w_inv
+    w = jnp.where(zero_weight | ~jnp.isfinite(w), 0.0, w)
+    return w
+
+
+def _eye_on_light_pdfs(scene: Scene, pos, prev_pos):
+    """For the t=0 case: find the light containing the eye endpoint
+    (bidirection.cpp:159-175, 307-328).  Returns (found, point_pdf,
+    dir_pdf_fn, radiance_toward(prev))."""
+    s = pos.shape[0]
+    nl = light_ops.num_lights(scene.lights)
+    found = jnp.zeros((s,), bool)
+    point_pdf = jnp.zeros((s,))
+    rad = jnp.zeros((s, 3))
+    wi, _ = _seg(prev_pos, pos)  # direction toward the light point
+
+    captured = []
+    for li in range(nl):
+        idx = jnp.full((s,), li, jnp.int32)
+        contains = light_ops.contain_point(scene.lights, idx, pos)
+        r_i, pp_i, dp_i = light_ops.sample_pdf(scene.lights, idx, pos, wi)
+        new = contains & ~found
+        point_pdf = jnp.where(new, pp_i, point_pdf)
+        rad = jnp.where(new[..., None], r_i, rad)
+        captured.append((new, idx))
+        found = found | contains
+
+    def dir_pdf_fn(w_world):
+        """pdf of the light emitting along w_world from `pos`."""
+        out = jnp.zeros((s,))
+        for new, idx in captured:
+            # sample_pdf expects wi pointing toward the light; pass -w.
+            _, _, dp = light_ops.sample_pdf(scene.lights, idx, pos, -w_world)
+            out = jnp.where(new, dp, out)
+        return out
+
+    return found, point_pdf, dir_pdf_fn, rad
+
+
+def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
+                cfg: RenderConfig):
+    """One camera-sample-per-pixel BDPT pass.
+
+    Returns (eye_L [S,3], light_img [H*W,3]).  light_img carries the
+    1/ns_aa factor like the reference's splats (bidirection.cpp:460-461).
+    """
+    s = pixel_ids.shape[0]
+    nv = cfg.max_ray_depth + 1           # real vertices per subpath
+    nl_lights = light_ops.num_lights(scene.lights)
+
+    k_cam, k_eye, k_pick, k_le, k_light, k_conn = jax.random.split(key, 6)
+
+    # --- eye subpath ------------------------------------------------------
+    px = (pixel_ids % width).astype(jnp.float32)
+    py = (pixel_ids // width).astype(jnp.float32)
+    u = jax.random.uniform(k_cam, (s, 2))
+    o, d = camera_ops.generate_ray(
+        scene.camera, (px + u[:, 0]) / width, (py + u[:, 1]) / height)
+    eye = _prepare_subpath(
+        scene, o, d, jnp.ones((s,)), jnp.ones((s,)), jnp.ones((s, 3)),
+        d, k_eye, nv, scene.camera.nclip, scene.camera.fclip)
+
+    # --- light subpath (sample_light_ray, bidirection.cpp:105-118) --------
+    if nl_lights > 0:
+        lidx = jax.random.randint(k_pick, (s,), 0, nl_lights)
+        le = light_ops.sample_Le(scene.lights, lidx, k_le)
+        point_pdf = le.point_pdf / nl_lights
+        light = _prepare_subpath(
+            scene, le.o, le.d, jnp.maximum(point_pdf, 1e-12), le.dir_pdf,
+            le.radiance, le.normal, k_light, nv, EPS_F, INF_D)
+        light_valid_root = le.point_pdf > 0
+        light = light._replace(
+            valid=light.valid & light_valid_root[:, None])
+    else:
+        light = None
+
+    eye_L = jnp.zeros((s, 3))
+    light_img = jnp.zeros((height * width, 3))
+
+    # --- connections: i_eye in 1..nv, i_light in 0..nv --------------------
+    for i_eye in range(1, nv + 1):
+        for i_light in range(0, (nv + 1) if light is not None else 1):
+            k_combo = jax.random.fold_in(
+                jax.random.fold_in(k_conn, i_eye), i_light)
+            ill, splat_xy, splat_mask = _estimate_radiance(
+                scene, i_eye, i_light, eye, light, k_combo,
+                width, height, cfg)
+            if i_eye == 1:
+                if splat_xy is not None:
+                    flat = (splat_xy[:, 1] * width + splat_xy[:, 0])
+                    flat = jnp.clip(flat, 0, height * width - 1)
+                    light_img = light_img.at[flat].add(
+                        jnp.where(splat_mask[:, None], ill / cfg.spp, 0.0))
+            else:
+                eye_L = eye_L + ill
+    return eye_L, light_img
+
+
+def _estimate_radiance(scene: Scene, i_eye: int, i_light: int,
+                       eye: Subpath, light: Subpath | None, key,
+                       width: int, height: int, cfg: RenderConfig,
+                       debug_inject: dict | None = None):
+    """estimate_bidirection_radiance for one (i_eye, i_light) combo.
+
+    Returns (ill [S,3], splat_xy int [S,2] | None, splat_mask [S] | None).
+    debug_inject optionally supplies pre-drawn "light_sample"/"eye_sample"
+    dicts (used by the oracle path-replay tests to bypass RNG).
+    """
+    s = eye.pos.shape[0]
+    nl_lights = light_ops.num_lights(scene.lights) if light is not None else 0
+    ve = _vert(eye, i_eye)
+    light_sample = None
+    eye_sample = None
+    splat_xy = None
+    splat_mask = None
+
+    eol = None
+    if i_light == 0:
+        # t=0: eye path hit a light source
+        if i_eye <= 1:
+            return jnp.zeros((s, 3)), None, None
+        eol = _eye_on_light_pdfs(scene, ve["pos"], eye.pos[:, i_eye - 1])
+        found, _, _, rad = eol
+        emit = bsdf_ops.emission(scene.materials, ve["mat"])
+        emit_big = jnp.linalg.norm(emit, axis=-1) > EPS_F
+        c = jnp.where(emit_big[:, None],
+                      jnp.where(found[:, None], rad, 0.0), emit)
+        pair_valid = ve["valid"]
+        vl_alpha = jnp.ones((s, 3))
+    else:
+        vl = _vert(light, i_light)
+        if i_light == 1:
+            if debug_inject is not None and "light_sample" in debug_inject:
+                light_sample = debug_inject["light_sample"]
+            else:
+                # fresh light sample toward the eye vertex
+                # (bidirection.cpp:332-358)
+                k_pick2, k_pt = jax.random.split(key)
+                lidx2 = jax.random.randint(k_pick2, (s,), 0, nl_lights)
+                lp = light_ops.sample_Le_point(scene.lights, lidx2,
+                                               ve["pos"], k_pt)
+                pp = jnp.maximum(lp.point_pdf / nl_lights, 1e-12)
+                light_sample = dict(
+                    pos=lp.point, n=lp.normal,
+                    alpha=lp.radiance / pp[:, None],
+                    p=pp, mat=jnp.full((s,), -1, jnp.int32),
+                    valid=lp.point_pdf > 0, dir_pdf=lp.dir_pdf)
+            vl = light_sample
+        if i_eye == 1:
+            # light path connects to the camera: light-image splat
+            ci = camera_ops.sample_ray_pdf(scene.camera, vl["pos"],
+                                           width, height)
+            eye_sample = dict(
+                pos=ci.point, n=ci.normal, alpha=ci.we / ci.point_pdf[:, None],
+                p=ci.point_pdf, mat=jnp.full((s,), -1, jnp.int32),
+                valid=jnp.ones((s,), bool), dir_pdf=ci.dir_pdf)
+            ve = eye_sample
+            splat_xy = jnp.stack([ci.px.astype(jnp.int32),
+                                  ci.py.astype(jnp.int32)], axis=-1)
+            splat_mask = ci.in_frame
+            f_eye = jnp.ones((s, 3))
+        else:
+            o2w_e = make_coord_space(ve["n"])
+            eye_ray, _ = _seg(ve["pos"], eye.pos[:, i_eye - 1])
+            conn_e, _ = _seg(ve["pos"], vl["pos"])
+            f_eye = bsdf_ops.eval_f(scene.materials, ve["mat"],
+                                    to_local(o2w_e, eye_ray),
+                                    to_local(o2w_e, conn_e))
+        if i_light > 1:
+            o2w_l = make_coord_space(vl["n"])
+            light_ray, _ = _seg(vl["pos"], light.pos[:, i_light - 1])
+            conn_l, _ = _seg(vl["pos"], ve["pos"])
+            f_light = bsdf_ops.eval_f(scene.materials, vl["mat"],
+                                      to_local(o2w_l, conn_l),
+                                      to_local(o2w_l, light_ray))
+        else:
+            f_light = jnp.ones((s, 3))
+
+        blocked, conn, dist = occluded_segment(scene.geometry, ve["pos"],
+                                               vl["pos"])
+        g = jnp.abs(jnp.sum(vl["n"] * conn, axis=-1)
+                    * jnp.sum(ve["n"] * conn, axis=-1)) \
+            / jnp.maximum(dist * dist, 1e-12)
+        c = jnp.where(blocked[:, None], 0.0, f_eye * g[:, None] * f_light)
+        pair_valid = ve["valid"] & vl["valid"]
+        vl_alpha = vl["alpha"]
+
+    eye_alpha = ve["alpha"]
+    contrib = eye_alpha * vl_alpha * c
+    contrib = jnp.where(pair_valid[:, None], contrib, 0.0)
+    big = jnp.linalg.norm(contrib, axis=-1) > EPS_F
+
+    w = _mis_weight(scene, i_eye, i_light, eye, light, light_sample,
+                    eye_sample,
+                    (eol[0], eol[1], eol[2]) if eol is not None
+                    else (jnp.zeros((s,), bool), jnp.zeros((s,)),
+                          lambda _: jnp.zeros((s,))))
+    ill = jnp.where(big[:, None], contrib * w[:, None], 0.0)
+    ill = jnp.where(jnp.isfinite(ill), ill, 0.0)
+    return ill, splat_xy, splat_mask

@@ -62,7 +62,9 @@ def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, key, cfg: RenderConfig):
                                    reference_quirks=cfg.pt_reference_nee)
             wi = to_local(o2w, s.wi)
             f = bsdf_ops.eval_f(scene.materials, mid, w_out, wi)
-            max_t = jnp.where(s.dist >= INF_D, INF_D, s.dist - EPS_F)
+            # relative far-end margin (see ops.intersect.occluded_segment)
+            max_t = jnp.where(s.dist >= INF_D, INF_D,
+                              s.dist * (1.0 - 2e-4) - EPS_F)
             blocked = occluded(scene.geometry, hit_p, s.wi, EPS_F, max_t)
             cos = jnp.abs(jnp.sum(s.wi * hit_n, axis=-1))
             contrib = (s.radiance * f * (cos / jnp.maximum(s.pdf, 1e-12))[..., None])

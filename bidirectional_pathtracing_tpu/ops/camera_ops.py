@@ -85,7 +85,11 @@ def sample_ray_pdf(cam: Camera, p, width: int, height: int) -> CameraImportance:
     wc_n = wc / jnp.maximum(cos_t, 1e-12)[..., None]
     px = (wc_n[..., 0] / th + 1.0) * 0.5 * width
     py = (wc_n[..., 1] / tv + 1.0) * 0.5 * height
-    in_frame = ((cos_t > 0) & (px >= 0) & (py >= 0)
+    # Bounds use the reference's int-cast semantics (camera.cpp:241-242 +
+    # bidirection.cpp:459): C++ double->int truncates toward zero, so the
+    # band (-1,0) lands in pixel 0 and is ACCEPTED.  This matters: We has a
+    # 1/cos^4 tail that peaks exactly at the frame border.
+    in_frame = ((cos_t > 0) & (px > -1.0) & (py > -1.0)
                 & (px < width) & (py < height))
     return CameraImportance(
         we=we, wi=wi, point=jnp.broadcast_to(cam.pos, p.shape), dist=dist,

@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from bidirectional_pathtracing_tpu.core.math import INF_D
+from bidirectional_pathtracing_tpu.core.math import EPS_F, INF_D
 from bidirectional_pathtracing_tpu.scene.types import Geometry
 
 _TRI_CHUNK = 512
@@ -201,3 +201,22 @@ def occluded(geom: Geometry, o, d, min_t, max_t) -> jnp.ndarray:
             o, d, geom.sph_c, geom.sph_r, min_t, max_t)
         hit_any = hit_any | jnp.any(hit & geom.sph_valid[None, :], axis=-1)
     return hit_any
+
+
+def occluded_segment(geom: Geometry, a, b, rel_eps: float = 2e-4):
+    """Visibility test between points a and b [R,3].
+
+    The reference clips shadow segments to [EPS, dist - EPS] in double
+    precision (bidirection.cpp:423-430), where the endpoint's own primitive
+    falls outside max_t exactly.  In float32 the sphere quadratic's
+    cancellation error (~1e-5 * dist) exceeds the absolute epsilon and
+    falsely self-occludes endpoints lying ON a sphere, so we clip the far
+    end by a RELATIVE margin instead.  Returns (blocked[R], dir[R,3],
+    dist[R]).
+    """
+    d = b - a
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-20))
+    conn = d / dist[..., None]
+    max_t = dist * (1.0 - rel_eps) - EPS_F
+    blocked = occluded(geom, a, conn, EPS_F, max_t)
+    return blocked, conn, dist
