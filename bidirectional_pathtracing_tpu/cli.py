@@ -1,0 +1,123 @@
+"""Command-line renderer mirroring the reference CLI.
+
+Reference flags (src/application/main.cpp:24-38):
+  -s <spp>            camera samples per pixel
+  -l <n>              samples per area light (unidirectional NEE)
+  -t <n>              threads (here: informational; devices come from JAX)
+  -m <depth>          max ray depth
+  -e <file.exr>       environment map
+  -b <lens radius>    thin-lens aperture (unidirectional)
+  -d <focal dist>     focal distance
+  -f <out.png>        output file (headless render)
+  -r <W> <H>          frame size
+  -p <x> <y> <dx> <dy> cell render
+  -c <file>           camera settings file
+  -a <batch> <tol>    adaptive sampling
+  -H                  hemisphere direct sampling
+plus new:
+  --integrator {bdpt,pt}    (the reference hard-wires BDPT,
+                             raytraced_renderer.cpp:53)
+  --seed N
+  --save-buffers            also write <out>_eye.png / <out>_light.png
+
+Usage: python -m bidirectional_pathtracing_tpu.cli [flags] scene.dae
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(
+        prog="bdpt-tpu", description="TPU-native bidirectional path tracer")
+    ap.add_argument("scene", help=".dae scene file")
+    ap.add_argument("-s", dest="spp", type=int, default=4)
+    ap.add_argument("-l", dest="light_samples", type=int, default=1)
+    ap.add_argument("-t", dest="threads", type=int, default=0,
+                    help="ignored (JAX devices are used); kept for parity")
+    ap.add_argument("-m", dest="max_depth", type=int, default=5)
+    ap.add_argument("-e", dest="envmap", default="")
+    ap.add_argument("-b", dest="lens_radius", type=float, default=0.0)
+    ap.add_argument("-d", dest="focal_distance", type=float, default=4.7)
+    ap.add_argument("-f", dest="output", default="out.png")
+    ap.add_argument("-r", dest="size", type=int, nargs=2,
+                    default=[480, 360], metavar=("W", "H"))
+    ap.add_argument("-p", dest="cell", type=int, nargs=4, default=None,
+                    metavar=("X", "Y", "DX", "DY"))
+    ap.add_argument("-c", dest="camera_settings", default="")
+    ap.add_argument("-a", dest="adaptive", type=float, nargs=2, default=None,
+                    metavar=("BATCH", "TOL"))
+    ap.add_argument("-H", dest="hemisphere", action="store_true")
+    ap.add_argument("--integrator", choices=["bdpt", "pt"], default="bdpt")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save-buffers", action="store_true")
+    ap.add_argument("--stats-json", default="",
+                    help="write render stats to this JSON file")
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    from bidirectional_pathtracing_tpu.config import RenderConfig
+    from bidirectional_pathtracing_tpu.scene.build import load_scene
+    from bidirectional_pathtracing_tpu.utils import image as img
+    from bidirectional_pathtracing_tpu.utils.render import render
+
+    w, h = args.size
+    cfg = RenderConfig(
+        spp=args.spp, light_samples=args.light_samples,
+        max_ray_depth=args.max_depth, width=w, height=h,
+        integrator=args.integrator,
+        direct_hemisphere_sample=args.hemisphere,
+        lens_radius=args.lens_radius, focal_distance=args.focal_distance,
+        samples_per_batch=int(args.adaptive[0]) if args.adaptive else 32,
+        max_tolerance=args.adaptive[1] if args.adaptive else 0.05,
+        adaptive_sampling=(args.adaptive is not None
+                           and args.integrator == "pt"),
+        envmap_path=args.envmap, output=args.output, seed=args.seed,
+        cell=tuple(args.cell) if args.cell else None,
+    )
+
+    print(f"[bdpt-tpu] loading scene {args.scene}", file=sys.stderr)
+    t0 = time.perf_counter()
+    scene, aux = load_scene(args.scene, w, h,
+                            lens_radius=cfg.lens_radius,
+                            focal_distance=cfg.focal_distance)
+    if args.envmap:
+        from bidirectional_pathtracing_tpu.ops import envlight
+        from bidirectional_pathtracing_tpu.utils.exr import read_exr
+        data = read_exr(args.envmap)
+        scene = scene._replace(envmap=envlight.build_envmap(data))
+    print(f"[bdpt-tpu] scene: {aux['num_tris']} tris, "
+          f"{aux['num_spheres']} spheres, loaded in "
+          f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
+
+    if args.camera_settings:
+        print("[bdpt-tpu] -c camera settings files are not supported yet",
+              file=sys.stderr)
+
+    res = render(scene, cfg)
+    st = res.stats
+    print(f"[bdpt-tpu] rendered {st['camera_samples']} samples in "
+          f"{st['wall_time_s']:.2f}s "
+          f"({st['camera_samples_per_s']:.0f} samples/s, "
+          f"~{st['est_mrays_per_s']:.2f} Mrays/s)", file=sys.stderr)
+
+    img.save_image(args.output, res.combined)
+    img.save_sampling_rate_image(args.output, res.sample_counts, cfg.spp)
+    if args.save_buffers and res.eye is not None:
+        img.save_image(args.output[:-4] + "_eye.png", res.eye)
+        img.save_image(args.output[:-4] + "_light.png", res.light)
+    if args.stats_json:
+        with open(args.stats_json, "w") as f:
+            json.dump(st, f)
+    print(f"[bdpt-tpu] saved {args.output}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

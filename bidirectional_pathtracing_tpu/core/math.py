@@ -16,8 +16,10 @@ PI = jnp.pi
 EPS_F = 1e-5          # reference CGL/include/CGL/misc.h (EPS_F = 1e-5 float)
 INF_D = 1e30
 
-# Rec.601 luma weights used by Vector3D::illum() in the reference.
-_LUMA = jnp.array([0.2126, 0.7152, 0.0722], dtype=jnp.float32)
+# Rec.709 luma weights used by Vector3D::illum() in the reference.
+# numpy (not jnp) so importing inside a trace can't leak a tracer.
+import numpy as _np  # noqa: E402
+_LUMA = _np.array([0.2126, 0.7152, 0.0722], dtype=_np.float32)
 
 
 def dot(a, b):

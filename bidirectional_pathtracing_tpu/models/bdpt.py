@@ -38,6 +38,7 @@ from bidirectional_pathtracing_tpu.config import RenderConfig
 from bidirectional_pathtracing_tpu.core.math import (
     EPS_F, INF_D, make_coord_space, normalize, to_local, to_world,
 )
+from bidirectional_pathtracing_tpu.core import rng
 from bidirectional_pathtracing_tpu.ops import bsdf as bsdf_ops
 from bidirectional_pathtracing_tpu.ops import camera_ops
 from bidirectional_pathtracing_tpu.ops import lights as light_ops
@@ -60,8 +61,13 @@ class Subpath(NamedTuple):
 
 
 def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
-                     init_normal, key, nv: int, first_min_t, first_max_t):
-    """Random walk producing a Subpath with nv real vertices (1..nv)."""
+                     init_normal, keys, site: int, nv: int,
+                     first_min_t, first_max_t):
+    """Random walk producing a Subpath with nv real vertices (1..nv).
+
+    keys: per-lane PRNG keys [S]; site: static constant separating the eye
+    and light walks' random streams.
+    """
     s = o.shape[0]
 
     v1_alpha = init_radiance / point_pdf[..., None]
@@ -69,7 +75,7 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
     def step(carry, xs):
         (o, d, prev_pdf, prev_f, prev_n, alpha_prev, p_prev, alive,
          min_t, max_t) = carry
-        k = xs
+        u3 = xs
         hit = intersect(scene.geometry, o, d, min_t, max_t)
         alive = alive & hit.valid
         hit_p = o + hit.t[..., None] * d
@@ -83,7 +89,7 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
         # next direction
         o2w = make_coord_space(hit.n)
         w_out = to_local(o2w, -d)
-        bs = bsdf_ops.sample(scene.materials, hit.mat, w_out, k)
+        bs = bsdf_ops.sample(scene.materials, hit.mat, w_out, u3)
         wi_w = normalize(to_world(o2w, bs.wi))
 
         out = (hit_p, hit.n, alpha_i, p_i, hit.mat, alive)
@@ -91,14 +97,15 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
                  jnp.full((s,), EPS_F), jnp.full((s,), INF_D))
         return carry, out
 
-    keys = jax.random.split(key, max(nv - 1, 1))
+    us = jnp.stack([rng.uniform(rng.fold(keys, site + i), (3,))
+                    for i in range(nv - 1)]) if nv > 1 else None
     # prev_pdf starts at the v1 directional pdf (bidirection.cpp:41)
     init = (o, d, jnp.maximum(dir_pdf, 1e-12), jnp.ones((s, 3)), init_normal,
             v1_alpha, point_pdf, jnp.ones((s,), bool),
             jnp.broadcast_to(first_min_t, (s,)),
             jnp.broadcast_to(first_max_t, (s,)))
     if nv > 1:
-        _, outs = jax.lax.scan(step, init, keys[:nv - 1])
+        _, outs = jax.lax.scan(step, init, us)
         pos_s, n_s, alpha_s, p_s, mat_s, valid_s = outs  # each [nv-1, S, ...]
     else:
         pos_s = jnp.zeros((0, s, 3))
@@ -311,26 +318,30 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     nv = cfg.max_ray_depth + 1           # real vertices per subpath
     nl_lights = light_ops.num_lights(scene.lights)
 
-    k_cam, k_eye, k_pick, k_le, k_light, k_conn = jax.random.split(key, 6)
+    # per-lane counter-based keys from GLOBAL pixel ids: bitwise identical
+    # under any sharding of the pixel axis
+    keys = rng.lane_keys(key, pixel_ids)
 
     # --- eye subpath ------------------------------------------------------
     px = (pixel_ids % width).astype(jnp.float32)
     py = (pixel_ids // width).astype(jnp.float32)
-    u = jax.random.uniform(k_cam, (s, 2))
+    u = rng.uniform(rng.fold(keys, 1), (2,))
     o, d = camera_ops.generate_ray(
         scene.camera, (px + u[:, 0]) / width, (py + u[:, 1]) / height)
     eye = _prepare_subpath(
         scene, o, d, jnp.ones((s,)), jnp.ones((s,)), jnp.ones((s, 3)),
-        d, k_eye, nv, scene.camera.nclip, scene.camera.fclip)
+        d, keys, 10, nv, scene.camera.nclip, scene.camera.fclip)
 
     # --- light subpath (sample_light_ray, bidirection.cpp:105-118) --------
     if nl_lights > 0:
-        lidx = jax.random.randint(k_pick, (s,), 0, nl_lights)
-        le = light_ops.sample_Le(scene.lights, lidx, k_le)
+        lidx = rng.randint(rng.fold(keys, 3), nl_lights)
+        le = light_ops.sample_Le(scene.lights, lidx,
+                                 rng.uniform(rng.fold(keys, 4), (2,)),
+                                 rng.uniform(rng.fold(keys, 5), (2,)))
         point_pdf = le.point_pdf / nl_lights
         light = _prepare_subpath(
             scene, le.o, le.d, jnp.maximum(point_pdf, 1e-12), le.dir_pdf,
-            le.radiance, le.normal, k_light, nv, EPS_F, INF_D)
+            le.radiance, le.normal, keys, 40, nv, EPS_F, INF_D)
         light_valid_root = le.point_pdf > 0
         light = light._replace(
             valid=light.valid & light_valid_root[:, None])
@@ -343,10 +354,8 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     # --- connections: i_eye in 1..nv, i_light in 0..nv --------------------
     for i_eye in range(1, nv + 1):
         for i_light in range(0, (nv + 1) if light is not None else 1):
-            k_combo = jax.random.fold_in(
-                jax.random.fold_in(k_conn, i_eye), i_light)
             ill, splat_xy, splat_mask = _estimate_radiance(
-                scene, i_eye, i_light, eye, light, k_combo,
+                scene, i_eye, i_light, eye, light, keys,
                 width, height, cfg)
             if i_eye == 1:
                 if splat_xy is not None:
@@ -360,7 +369,7 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
 
 
 def _estimate_radiance(scene: Scene, i_eye: int, i_light: int,
-                       eye: Subpath, light: Subpath | None, key,
+                       eye: Subpath, light: Subpath | None, keys,
                        width: int, height: int, cfg: RenderConfig,
                        debug_inject: dict | None = None):
     """estimate_bidirection_radiance for one (i_eye, i_light) combo.
@@ -398,10 +407,11 @@ def _estimate_radiance(scene: Scene, i_eye: int, i_light: int,
             else:
                 # fresh light sample toward the eye vertex
                 # (bidirection.cpp:332-358)
-                k_pick2, k_pt = jax.random.split(key)
-                lidx2 = jax.random.randint(k_pick2, (s,), 0, nl_lights)
-                lp = light_ops.sample_Le_point(scene.lights, lidx2,
-                                               ve["pos"], k_pt)
+                site = 1000 + i_eye * 8
+                lidx2 = rng.randint(rng.fold(keys, site), nl_lights)
+                lp = light_ops.sample_Le_point(
+                    scene.lights, lidx2, ve["pos"],
+                    rng.uniform(rng.fold(keys, site + 1), (2,)))
                 pp = jnp.maximum(lp.point_pdf / nl_lights, 1e-12)
                 light_sample = dict(
                     pos=lp.point, n=lp.normal,

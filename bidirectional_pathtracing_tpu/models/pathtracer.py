@@ -32,7 +32,7 @@ from bidirectional_pathtracing_tpu.config import RenderConfig
 from bidirectional_pathtracing_tpu.core.math import (
     EPS_F, INF_D, make_coord_space, to_local, to_world, normalize,
 )
-from bidirectional_pathtracing_tpu.core import samplers
+from bidirectional_pathtracing_tpu.core import rng, samplers
 from bidirectional_pathtracing_tpu.ops import bsdf as bsdf_ops
 from bidirectional_pathtracing_tpu.ops import lights as light_ops
 from bidirectional_pathtracing_tpu.ops import camera_ops
@@ -40,12 +40,13 @@ from bidirectional_pathtracing_tpu.ops.intersect import intersect, occluded
 from bidirectional_pathtracing_tpu.scene.types import Scene
 
 
-def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, key, cfg: RenderConfig):
+def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, keys, cfg: RenderConfig):
     """estimate_direct_lighting_importance for a wavefront.
 
     Averages cfg.light_samples NEE samples per light and sums over lights
     (pathtracer.cpp:121-156).  Delta lights are deterministic so averaging
     identical samples reproduces the reference's single-sample rule.
+    keys: per-lane PRNG keys [S].
     """
     nl = light_ops.num_lights(scene.lights)
     if nl == 0:
@@ -56,9 +57,9 @@ def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, key, cfg: RenderConfig):
     for li in range(nl):
         acc = jnp.zeros_like(hit_p)
         for si in range(cfg.light_samples):
-            k = jax.random.fold_in(jax.random.fold_in(key, li), si)
+            u2 = rng.uniform(rng.fold(keys, 7000 + li * 97 + si), (2,))
             idx = jnp.full(hit_p.shape[:-1], li, jnp.int32)
-            s = light_ops.sample_L(scene.lights, idx, hit_p, k,
+            s = light_ops.sample_L(scene.lights, idx, hit_p, u2,
                                    reference_quirks=cfg.pt_reference_nee)
             wi = to_local(o2w, s.wi)
             f = bsdf_ops.eval_f(scene.materials, mid, w_out, wi)
@@ -73,7 +74,7 @@ def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, key, cfg: RenderConfig):
     return total
 
 
-def _nee_hemisphere(scene: Scene, hit_p, hit_n, w_out_w, mid, key,
+def _nee_hemisphere(scene: Scene, hit_p, hit_n, w_out_w, mid, keys,
                     cfg: RenderConfig):
     """estimate_direct_lighting_hemisphere (pathtracer.cpp:47-100):
     sample the BSDF, trace, and collect emission of whatever is hit."""
@@ -83,8 +84,8 @@ def _nee_hemisphere(scene: Scene, hit_p, hit_n, w_out_w, mid, key,
     w_out = to_local(o2w, w_out_w)
     acc = jnp.zeros_like(hit_p)
     for i in range(n_samples):
-        k = jax.random.fold_in(key, i)
-        bs = bsdf_ops.sample(scene.materials, mid, w_out, k)
+        u3 = rng.uniform(rng.fold(keys, 8000 + i), (3,))
+        bs = bsdf_ops.sample(scene.materials, mid, w_out, u3)
         wi_w = normalize(to_world(o2w, bs.wi))
         h = intersect(scene.geometry, hit_p, wi_w, EPS_F, INF_D)
         emit = bsdf_ops.emission(scene.materials, h.mat)
@@ -94,10 +95,10 @@ def _nee_hemisphere(scene: Scene, hit_p, hit_n, w_out_w, mid, key,
     return acc / n_samples
 
 
-def trace_radiance(scene: Scene, o, d, key, cfg: RenderConfig):
+def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig):
     """est_radiance_global_illumination for a wavefront of camera rays.
 
-    o, d: [S,3].  Returns L [S,3].
+    o, d: [S,3]; keys: per-lane PRNG keys [S].  Returns L [S,3].
     """
     rr = cfg.max_ray_depth == 0
     n_bounces = cfg.rr_depth_cap if rr else max(cfg.max_ray_depth - 1, 0)
@@ -120,27 +121,27 @@ def trace_radiance(scene: Scene, o, d, key, cfg: RenderConfig):
 
     def bounce(carry, b):
         L, throughput, alive, hit_p, ray_d, hit_n, mid = carry
-        k = jax.random.fold_in(key, b)
-        k_nee, k_bsdf, k_rr = jax.random.split(k, 3)
+        kb = jax.vmap(jax.random.fold_in)(keys, jnp.full(keys.shape, 100 + b))
 
         delta = bsdf_ops.is_delta(scene.materials, mid)
         if cfg.direct_hemisphere_sample:
             direct = _nee_hemisphere(scene, hit_p, hit_n, -ray_d, mid,
-                                     k_nee, cfg)
+                                     kb, cfg)
         else:
-            direct = _nee(scene, hit_p, hit_n, -ray_d, mid, k_nee, cfg)
+            direct = _nee(scene, hit_p, hit_n, -ray_d, mid, kb, cfg)
         L += jnp.where((alive & ~delta)[..., None], throughput * direct, 0.0)
 
         # continuation (pathtracer.cpp:211-238)
         cont = alive
         rr_scale = 1.0
         if rr:
-            keep = samplers.coin_flip(k_rr, cfg.rr_cpdf, alive.shape)
+            keep = rng.uniform(rng.fold(kb, 5)) < cfg.rr_cpdf
             cont = cont & keep
             rr_scale = 1.0 / cfg.rr_cpdf
         o2w = make_coord_space(hit_n)
         w_out = to_local(o2w, -ray_d)
-        bs = bsdf_ops.sample(scene.materials, mid, w_out, k_bsdf)
+        bs = bsdf_ops.sample(scene.materials, mid, w_out,
+                             rng.uniform(rng.fold(kb, 6), (3,)))
         wi_w = normalize(to_world(o2w, bs.wi))
         nxt = intersect(scene.geometry, hit_p, wi_w, EPS_F, INF_D)
         cos = jnp.abs(jnp.sum(wi_w * hit_n, axis=-1))
@@ -168,29 +169,29 @@ def trace_radiance(scene: Scene, o, d, key, cfg: RenderConfig):
     # Final vertex still runs direct lighting (the reference's deepest
     # at_least_one_bounce call does NEE before trace=false).
     L, throughput, alive, hit_p, ray_d, hit_n, mid = carry
-    k = jax.random.fold_in(key, n_bounces)
+    kb = rng.fold(keys, 90000 + n_bounces)
     delta = bsdf_ops.is_delta(scene.materials, mid)
     if cfg.direct_hemisphere_sample:
-        direct = _nee_hemisphere(scene, hit_p, hit_n, -ray_d, mid, k, cfg)
+        direct = _nee_hemisphere(scene, hit_p, hit_n, -ray_d, mid, kb, cfg)
     else:
-        direct = _nee(scene, hit_p, hit_n, -ray_d, mid, k, cfg)
+        direct = _nee(scene, hit_p, hit_n, -ray_d, mid, kb, cfg)
     L += jnp.where((alive & ~delta)[..., None], throughput * direct, 0.0)
     return L
 
 
-def sample_camera_rays(scene: Scene, key, width, height, pixel_ids,
+def sample_camera_rays(scene: Scene, keys, width, height, pixel_ids,
                        cfg: RenderConfig):
     """Jittered primary rays for flat pixel ids [S] (raytrace_pixel setup:
-    bidirection.cpp:513-524 / pathtracer.cpp:298-312)."""
+    bidirection.cpp:513-524 / pathtracer.cpp:298-312).
+    keys: per-lane PRNG keys [S]."""
     px = (pixel_ids % width).astype(jnp.float32)
     py = (pixel_ids // width).astype(jnp.float32)
-    k_aa, k_lens = jax.random.split(key)
-    u = jax.random.uniform(k_aa, pixel_ids.shape + (2,))
+    u = rng.uniform(rng.fold(keys, 1), (2,))
     x = (px + u[..., 0]) / width
     y = (py + u[..., 1]) / height
     if cfg.integrator == "pt":
         # reference PT uses the thin-lens generator (pathtracer.cpp:311-312)
-        ul = jax.random.uniform(k_lens, pixel_ids.shape + (2,))
+        ul = rng.uniform(rng.fold(keys, 2), (2,))
         return camera_ops.generate_ray_thin_lens(
             scene.camera, x, y, ul[..., 0], ul[..., 1] * 2.0 * jnp.pi)
     return camera_ops.generate_ray(scene.camera, x, y)

@@ -147,14 +147,17 @@ def eval_f(materials: Materials, mid, wo, wi):
     return jnp.where((mid >= 0)[..., None], f, 0.0)
 
 
-def sample(materials: Materials, mid, wo, key) -> BSDFSample:
-    """BSDF::sample_f for a wavefront.  key: single PRNG key (folded in)."""
+def sample(materials: Materials, mid, wo, u) -> BSDFSample:
+    """BSDF::sample_f for a wavefront.
+
+    u: uniforms [S,3] — u[...,0:2] drive direction sampling, u[...,2] the
+    glass reflect/refract coin flip (coin_flip(R), advanced_bsdf.cpp:225).
+    """
     m = gather(materials, mid)
-    s = wo.shape[:-1]
-    k_dir, k_flip = jax.random.split(key)
+    u2 = u[..., 0:2]
 
     # cosine-weighted candidate (diffuse + emission; bsdf.cpp:66-77)
-    wi_cos, pdf_cos = samplers.cosine_hemisphere(k_dir, s)
+    wi_cos, pdf_cos = samplers.cosine_hemisphere(u2)
 
     # mirror reflect (advanced_bsdf.cpp:21-29)
     wi_ref = reflect_local(wo)
@@ -170,8 +173,7 @@ def sample(materials: Materials, mid, wo, key) -> BSDFSample:
 
     # glass (advanced_bsdf.cpp:202-236)
     r_schlick, _ = _schlick(m, wo[..., 2], _abs_cos(wi_refr))
-    u = jax.random.uniform(k_flip, s)
-    choose_reflect = (~refr_ok) | (u < r_schlick)
+    choose_reflect = (~refr_ok) | (u[..., 2] < r_schlick)
     r_eff = jnp.where(refr_ok, r_schlick, 1.0)
     wi_glass = jnp.where(choose_reflect[..., None], wi_ref, wi_refr)
     f_glass_ref = r_eff[..., None] * m.reflectance / jnp.maximum(
@@ -188,7 +190,6 @@ def sample(materials: Materials, mid, wo, key) -> BSDFSample:
                           1.0 - r_eff)
 
     # microfacet NDF sampling (advanced_bsdf.cpp:94-141)
-    u2 = jax.random.uniform(k_dir, s + (2,))
     alpha = m.roughness
     theta_h = jnp.arctan(
         jnp.sqrt(jnp.maximum(-alpha * alpha * jnp.log1p(-u2[..., 0]), 0.0)))

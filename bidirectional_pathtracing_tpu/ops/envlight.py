@@ -1,0 +1,112 @@
+"""HDR environment light with 2-stage CDF importance sampling.
+
+Mirrors reference src/scene/environment_light.cpp:
+  - build: pixel pdf = luminance * sin(pi (j+.5)/h), marginal CDF over rows,
+    conditional CDF over columns (environment_light.cpp:18-62)
+  - sample_dir: equirectangular lookup with the reference's robust bilerp
+    (environment_light.cpp:114-180); direction convention
+    theta = acos(y), phi = atan2(-z, x) + pi (environment_light.cpp:100-112)
+  - sample_L: 2-stage CDF inversion with the Jacobian pdf
+    p(w) = p(x,y) * (w*h) / (2 pi^2 sin(theta))  (environment_light.cpp:138-169)
+
+Used by the unidirectional tracer for NEE and primary-miss shading.  Like
+the reference, the BDPT methods are unsupported (the reference asserts,
+environment_light.cpp:182-208; we return zero pdfs so BDPT simply gains no
+env subpaths).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bidirectional_pathtracing_tpu.core.math import INF_D, PI, normalize
+from bidirectional_pathtracing_tpu.scene.types import Envmap
+
+_LUMA = np.array([0.2126, 0.7152, 0.0722])
+
+
+def build_envmap(data: np.ndarray) -> Envmap:
+    """data: [H,W,3] float.  Precomputes pdf + CDF tables on host."""
+    data = np.asarray(data, np.float64)
+    h, w = data.shape[:2]
+    lum = data @ _LUMA
+    pdf = lum * np.sin(PI * (np.arange(h)[:, None] + 0.5) / h)
+    pdf = pdf / pdf.sum()
+    row_p = pdf.sum(axis=1)
+    marginal_cdf = np.cumsum(row_p)
+    conds = np.cumsum(pdf / np.maximum(row_p[:, None], 1e-30), axis=1)
+    return Envmap(
+        data=jnp.asarray(data, jnp.float32),
+        pdf=jnp.asarray(pdf, jnp.float32),
+        marginal_cdf=jnp.asarray(marginal_cdf, jnp.float32),
+        conditional_cdf=jnp.asarray(conds, jnp.float32),
+    )
+
+
+def _dir_to_xy(d, w, h):
+    """dir -> continuous (x, y) pixel coords (environment_light.cpp:84-105)."""
+    u = normalize(d)
+    theta = jnp.arccos(jnp.clip(u[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(-u[..., 2], u[..., 0]) + PI
+    return phi / (2.0 * PI) * w, theta / PI * h
+
+
+def _bilerp(env: Envmap, x, y):
+    """The reference's wrap-aware bilerp (environment_light.cpp:119-135)."""
+    h, w = env.data.shape[:2]
+    right = jnp.round(x).astype(jnp.int32)
+    v = jnp.round(y).astype(jnp.int32)
+    u1 = right.astype(jnp.float32) - x + 0.5
+    wrap = (right == 0) | (right == w)
+    left = jnp.where(wrap, w - 1, right - 1)
+    right = jnp.where(wrap, 0, right)
+    v1 = jnp.where(v == 0, 1.0,
+                   jnp.where(v == h, 0.0, v.astype(jnp.float32) - y + 0.5))
+    v = jnp.clip(jnp.where(v == 0, 1, jnp.where(v == h, h - 1, v)), 1, h - 1)
+    top = v - 1
+    u0 = 1.0 - u1
+    d = env.data
+    val = ((d[top, left] * u1[..., None] + d[top, right] * u0[..., None])
+           * v1[..., None]
+           + (d[v, left] * u1[..., None] + d[v, right] * u0[..., None])
+           * (1.0 - v1)[..., None])
+    return val
+
+
+def sample_dir(env: Envmap, d):
+    """Radiance along direction d (primary-miss shading;
+    environment_light.cpp:171-180)."""
+    h, w = env.data.shape[:2]
+    x, y = _dir_to_xy(d, w, h)
+    return _bilerp(env, x, y)
+
+
+def sample_L(env: Envmap, p, u4):
+    """NEE sample toward the env light: returns (radiance, wi, dist, pdf).
+
+    u4: uniforms [S,4] — (row CDF, col CDF, x jitter, y jitter), matching
+    the reference's uv sample + random_uniform jitters
+    (environment_light.cpp:149-160).
+    """
+    h, w = env.data.shape[:2]
+    y = jnp.searchsorted(env.marginal_cdf, u4[..., 1], side="right")
+    y = jnp.clip(y, 0, h - 1)
+    # per-row conditional CDF search
+    x = jax.vmap(lambda row, q: jnp.searchsorted(row, q, side="right"))(
+        env.conditional_cdf[y], u4[..., 0])
+    x = jnp.clip(x, 0, w - 1)
+    xf = x.astype(jnp.float32) + u4[..., 2]
+    yf = y.astype(jnp.float32) + u4[..., 3]
+    theta = yf / h * PI
+    phi = xf / w * 2.0 * PI
+    wi = jnp.stack([
+        jnp.cos(phi - PI) * jnp.sin(theta),
+        jnp.cos(theta),
+        -jnp.sin(phi - PI) * jnp.sin(theta)], axis=-1)
+    pdf = env.pdf[y, x] * (w * h) / (2.0 * PI * PI
+                                     * jnp.maximum(jnp.sin(theta), 1e-6))
+    rad = _bilerp(env, xf, yf)
+    dist = jnp.full(pdf.shape, INF_D)
+    return rad, wi, dist, pdf

@@ -36,9 +36,11 @@ from bidirectional_pathtracing_tpu.scene.types import (
 )
 
 # InfiniteHemisphereLight sampleToWorld (light.cpp:55-60): local z -> world y.
-_HEMI_TO_WORLD = jnp.array([[1.0, 0.0, 0.0],
+# numpy (not jnp) so importing this module inside a trace can't leak a tracer.
+import numpy as _np  # noqa: E402
+_HEMI_TO_WORLD = _np.array([[1.0, 0.0, 0.0],
                             [0.0, 0.0, -1.0],
-                            [0.0, 1.0, 0.0]], jnp.float32)
+                            [0.0, 1.0, 0.0]], _np.float32)
 
 
 def gather(lights: Lights, idx):
@@ -58,9 +60,10 @@ class NEESample(NamedTuple):
     pdf: jnp.ndarray       # [S]   solid-angle pdf
 
 
-def sample_L(lights: Lights, idx, p, key, reference_quirks: bool = True) -> NEESample:
+def sample_L(lights: Lights, idx, p, u2, reference_quirks: bool = True) -> NEESample:
     """Next-event estimation sample toward light `idx` from point p [S,3].
 
+    u2: uniforms [S,2] (rect point / hemisphere direction).
     With reference_quirks=True (default), the AREA branch reproduces the
     reference's estimator exactly: pdf computed with the unnormalised
     direction in the cosine term (light.cpp:210-215) and radiance divided
@@ -68,8 +71,7 @@ def sample_L(lights: Lights, idx, p, key, reference_quirks: bool = True) -> NEES
     here.  With False, uses the physically standard solid-angle pdf.
     """
     li = gather(lights, idx)
-    s = p.shape[:-1]
-    u = jax.random.uniform(key, s + (2,)) - 0.5
+    u = u2 - 0.5
 
     # AREA (light.cpp:205-217)
     pt = li.position + u[..., 0:1] * li.dim_x + u[..., 1:2] * li.dim_y
@@ -101,7 +103,7 @@ def sample_L(lights: Lights, idx, p, key, reference_quirks: bool = True) -> NEES
     wi_d = jnp.broadcast_to(normalize(li.direction), p.shape)
 
     # HEMISPHERE (light.cpp:62-70)
-    dir_h = samplers.uniform_hemisphere(key, s)
+    dir_h = samplers.uniform_hemisphere(u2)
     wi_h = jnp.einsum("ij,...j->...i", _HEMI_TO_WORLD, dir_h)
 
     kind = li.kind
@@ -129,7 +131,7 @@ class LeSample(NamedTuple):
     normal: jnp.ndarray     # [S,3] light normal at the origin
 
 
-def sample_Le(lights: Lights, idx, key) -> LeSample:
+def sample_Le(lights: Lights, idx, u_pt2, u_dir2) -> LeSample:
     """Emit a light-subpath start ray (SceneLight::sample_Le).
 
     AREA (light.cpp:219-232): uniform rect point (pdf 1/A) + cosine
@@ -138,17 +140,15 @@ def sample_Le(lights: Lights, idx, key) -> LeSample:
     Unsupported kinds return zero radiance / zero pdfs.
     """
     li = gather(lights, idx)
-    s = idx.shape
-    k_pt, k_dir = jax.random.split(key)
-    u = jax.random.uniform(k_pt, s + (2,)) - 0.5
+    u = u_pt2 - 0.5
 
     o_a = li.position + u[..., 0:1] * li.dim_x + u[..., 1:2] * li.dim_y
-    d_local, dir_pdf_a = samplers.cosine_hemisphere(k_dir, s)
+    d_local, dir_pdf_a = samplers.cosine_hemisphere(u_dir2)
     o2w = make_coord_space(li.direction)
     d_a = to_world(o2w, d_local)
     point_pdf_a = 1.0 / jnp.maximum(li.area, 1e-12)
 
-    d_sph = samplers.uniform_sphere(k_dir, s)
+    d_sph = samplers.uniform_sphere(u_dir2)
 
     kind = li.kind
     is_a = kind == LIGHT_AREA
@@ -173,12 +173,11 @@ class LePointSample(NamedTuple):
     normal: jnp.ndarray     # [S,3]
 
 
-def sample_Le_point(lights: Lights, idx, p, key) -> LePointSample:
+def sample_Le_point(lights: Lights, idx, p, u2) -> LePointSample:
     """Fresh light point visible from p, for s=1 connections
     (SceneLight::sample_Le_point; area: light.cpp:234-255)."""
     li = gather(lights, idx)
-    s = p.shape[:-1]
-    u = jax.random.uniform(key, s + (2,)) - 0.5
+    u = u2 - 0.5
 
     pt_a = li.position + u[..., 0:1] * li.dim_x + u[..., 1:2] * li.dim_y
     kind = li.kind

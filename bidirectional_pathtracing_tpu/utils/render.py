@@ -51,11 +51,12 @@ def _estimate_rays_per_sample(cfg: RenderConfig, num_lights: int) -> float:
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
 def _pt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
+    from bidirectional_pathtracing_tpu.core import rng
     from bidirectional_pathtracing_tpu.models import pathtracer as pt
     pix = jnp.arange(width * height, dtype=jnp.int32)
-    k_cam, k_trace = jax.random.split(key)
-    o, d = pt.sample_camera_rays(scene, k_cam, width, height, pix, cfg)
-    L = pt.trace_radiance(scene, o, d, k_trace, cfg)
+    keys = rng.lane_keys(key, pix)
+    o, d = pt.sample_camera_rays(scene, keys, width, height, pix, cfg)
+    L = pt.trace_radiance(scene, o, d, keys, cfg)
     return L
 
 

@@ -5,12 +5,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bidirectional_pathtracing_tpu.core import samplers
+from bidirectional_pathtracing_tpu.core import rng, samplers
+
+
+def _u(n, seed=0, dims=2):
+    return jax.random.uniform(jax.random.key(seed), (n, dims))
 
 
 def _mc_integral(sample_fn, pdf_fn, f, n=200_000, seed=0):
-    key = jax.random.key(seed)
-    v = sample_fn(key, (n,))
+    v = sample_fn(_u(n, seed))
     pdf = pdf_fn(v)
     vals = f(v) / jnp.maximum(pdf, 1e-12)
     return float(jnp.mean(vals))
@@ -30,9 +33,7 @@ def test_uniform_hemisphere_pdf_normalises():
 
 
 def test_cosine_hemisphere_matches_pdf():
-    key = jax.random.key(1)
-    wi, pdf = samplers.cosine_hemisphere(key, (100_000,))
-    # returned pdf equals the closed form z/pi
+    wi, pdf = samplers.cosine_hemisphere(_u(100_000, 1))
     np.testing.assert_allclose(np.asarray(pdf),
                                np.asarray(samplers.cosine_hemisphere_pdf(wi)),
                                rtol=1e-5, atol=1e-6)
@@ -42,15 +43,21 @@ def test_cosine_hemisphere_matches_pdf():
 
 
 def test_samples_on_unit_sphere():
-    key = jax.random.key(2)
     for fn in (samplers.uniform_sphere, samplers.uniform_hemisphere):
-        v = fn(key, (1000,))
+        v = fn(_u(1000, 2))
         np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=-1),
                                    1.0, atol=1e-5)
 
 
-def test_deterministic_given_key():
+def test_per_lane_keys_deterministic_and_shard_invariant():
+    """Counter-based streams depend only on (key, lane id), not on how the
+    lane axis is partitioned — the property the SPMD renderer relies on."""
     key = jax.random.key(3)
-    a = samplers.cosine_hemisphere(key, (64,))[0]
-    b = samplers.cosine_hemisphere(key, (64,))[0]
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ids = jnp.arange(64, dtype=jnp.int32)
+    keys = rng.lane_keys(key, ids)
+    u_full = rng.uniform(rng.fold(keys, 7), (2,))
+    # recompute on two "shards"
+    u_a = rng.uniform(rng.fold(rng.lane_keys(key, ids[:32]), 7), (2,))
+    u_b = rng.uniform(rng.fold(rng.lane_keys(key, ids[32:]), 7), (2,))
+    np.testing.assert_array_equal(np.asarray(u_full),
+                                  np.concatenate([u_a, u_b]))
