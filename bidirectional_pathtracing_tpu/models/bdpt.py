@@ -270,7 +270,9 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
 
     w = 1.0 / w_inv
     w = jnp.where(zero_weight | ~jnp.isfinite(w), 0.0, w)
-    return w
+    # MIS weights form a partition of unity for any fixed path; detach so
+    # parameter gradients flow through contributions only.
+    return jax.lax.stop_gradient(w)
 
 
 def _eye_on_light_pdfs(scene: Scene, pos, prev_pos):

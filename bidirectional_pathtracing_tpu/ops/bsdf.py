@@ -233,7 +233,12 @@ def sample(materials: Materials, mid, wo, u) -> BSDFSample:
 
     delta = ((kind == MAT_MIRROR) | (kind == MAT_REFRACTION)
              | (kind == MAT_GLASS))
-    return BSDFSample(wi=wi, f=f, pdf=pdf, is_delta=delta & (mid >= 0))
+    # Detached-sampling estimator: the sampled direction and its pdf are
+    # treated as constants under differentiation; parameter gradients flow
+    # only through the BSDF value f (and radiance terms downstream).
+    return BSDFSample(wi=jax.lax.stop_gradient(wi), f=f,
+                      pdf=jax.lax.stop_gradient(pdf),
+                      is_delta=delta & (mid >= 0))
 
 
 def sample_pdf(materials: Materials, mid, wo, wi):
