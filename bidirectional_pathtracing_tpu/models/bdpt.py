@@ -43,7 +43,7 @@ from bidirectional_pathtracing_tpu.ops import bsdf as bsdf_ops
 from bidirectional_pathtracing_tpu.ops import camera_ops
 from bidirectional_pathtracing_tpu.ops import lights as light_ops
 from bidirectional_pathtracing_tpu.ops.intersect import (
-    intersect, occluded_segment)
+    scene_intersect, scene_occluded_segment)
 from bidirectional_pathtracing_tpu.scene.types import Scene
 
 
@@ -76,7 +76,7 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
         (o, d, prev_pdf, prev_f, prev_n, alpha_prev, p_prev, alive,
          min_t, max_t) = carry
         u3 = xs
-        hit = intersect(scene.geometry, o, d, min_t, max_t)
+        hit = scene_intersect(scene, o, d, min_t, max_t)
         alive = alive & hit.valid
         hit_p = o + hit.t[..., None] * d
 
@@ -451,8 +451,8 @@ def _estimate_radiance(scene: Scene, i_eye: int, i_light: int,
         else:
             f_light = jnp.ones((s, 3))
 
-        blocked, conn, dist = occluded_segment(scene.geometry, ve["pos"],
-                                               vl["pos"])
+        blocked, conn, dist = scene_occluded_segment(scene, ve["pos"],
+                                                     vl["pos"])
         g = jnp.abs(jnp.sum(vl["n"] * conn, axis=-1)
                     * jnp.sum(ve["n"] * conn, axis=-1)) \
             / jnp.maximum(dist * dist, 1e-12)

@@ -36,7 +36,8 @@ from bidirectional_pathtracing_tpu.core import rng, samplers
 from bidirectional_pathtracing_tpu.ops import bsdf as bsdf_ops
 from bidirectional_pathtracing_tpu.ops import lights as light_ops
 from bidirectional_pathtracing_tpu.ops import camera_ops
-from bidirectional_pathtracing_tpu.ops.intersect import intersect, occluded
+from bidirectional_pathtracing_tpu.ops.intersect import (
+    scene_intersect, scene_occluded)
 from bidirectional_pathtracing_tpu.scene.types import Scene
 
 
@@ -66,7 +67,7 @@ def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, keys, cfg: RenderConfig):
             # relative far-end margin (see ops.intersect.occluded_segment)
             max_t = jnp.where(s.dist >= INF_D, INF_D,
                               s.dist * (1.0 - 2e-4) - EPS_F)
-            blocked = occluded(scene.geometry, hit_p, s.wi, EPS_F, max_t)
+            blocked = scene_occluded(scene, hit_p, s.wi, EPS_F, max_t)
             cos = jnp.abs(jnp.sum(s.wi * hit_n, axis=-1))
             contrib = (s.radiance * f * (cos / jnp.maximum(s.pdf, 1e-12))[..., None])
             acc += jnp.where(blocked[..., None], 0.0, contrib)
@@ -87,7 +88,7 @@ def _nee_hemisphere(scene: Scene, hit_p, hit_n, w_out_w, mid, keys,
         u3 = rng.uniform(rng.fold(keys, 8000 + i), (3,))
         bs = bsdf_ops.sample(scene.materials, mid, w_out, u3)
         wi_w = normalize(to_world(o2w, bs.wi))
-        h = intersect(scene.geometry, hit_p, wi_w, EPS_F, INF_D)
+        h = scene_intersect(scene, hit_p, wi_w, EPS_F, INF_D)
         emit = bsdf_ops.emission(scene.materials, h.mat)
         cos = jnp.abs(jnp.sum(wi_w * hit_n, axis=-1))
         contrib = emit * bs.f * (cos / bs.pdf)[..., None]
@@ -103,8 +104,8 @@ def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig):
     rr = cfg.max_ray_depth == 0
     n_bounces = cfg.rr_depth_cap if rr else max(cfg.max_ray_depth - 1, 0)
 
-    hit = intersect(scene.geometry, o, d, scene.camera.nclip,
-                    scene.camera.fclip)
+    hit = scene_intersect(scene, o, d, scene.camera.nclip,
+                          scene.camera.fclip)
     L = jnp.zeros_like(o)
     if scene.envmap is not None:
         from bidirectional_pathtracing_tpu.ops import envlight
@@ -143,7 +144,7 @@ def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig):
         bs = bsdf_ops.sample(scene.materials, mid, w_out,
                              rng.uniform(rng.fold(kb, 6), (3,)))
         wi_w = normalize(to_world(o2w, bs.wi))
-        nxt = intersect(scene.geometry, hit_p, wi_w, EPS_F, INF_D)
+        nxt = scene_intersect(scene, hit_p, wi_w, EPS_F, INF_D)
         cos = jnp.abs(jnp.sum(wi_w * hit_n, axis=-1))
         weight = bs.f * (cos / bs.pdf)[..., None] * rr_scale
 

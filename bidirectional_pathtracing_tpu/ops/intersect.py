@@ -220,3 +220,170 @@ def occluded_segment(geom: Geometry, a, b, rel_eps: float = 2e-4):
     max_t = dist * (1.0 - rel_eps) - EPS_F
     blocked = occluded(geom, a, conn, EPS_F, max_t)
     return blocked, conn, dist
+
+
+# --- BVH traversal (flattened pre-order, escape links) ----------------------
+
+def _bvh_slab(o, inv_d, lo, hi, min_t, max_t):
+    """Slab test (bbox.cpp:10-56) vectorized; returns hit mask."""
+    t0 = (lo - o) * inv_d
+    t1 = (hi - o) * inv_d
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (tmax >= tmin) & (tmax >= min_t) & (tmin <= max_t)
+
+
+def _leaf_prims(geom, bvh, start, count, leaf_size):
+    """Gather up to leaf_size global prim ids for a leaf; -1 padded."""
+    slots = []
+    for j in range(leaf_size):
+        pid = bvh.prim_order[jnp.clip(start + j, 0, bvh.prim_order.shape[0] - 1)]
+        slots.append(jnp.where(j < count, pid, -1))
+    return slots
+
+
+def intersect_bvh(geom: Geometry, bvh, o, d, min_t, max_t,
+                  leaf_size: int = 4, any_hit: bool = False):
+    """Closest-hit (or any-hit) via stackless pre-order traversal.
+
+    Each ray walks the linearised tree with an escape-link pointer
+    (bvh.cpp:161-188 semantics, without recursion); rays advance in
+    lockstep inside a lax.while_loop until all reach the end sentinel.
+    """
+    r_count = o.shape[0]
+    n_nodes = bvh.is_leaf.shape[0]
+    num_t = geom.num_tris
+    min_t = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r_count,))
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r_count,))
+    inv_d = jnp.where(d == 0, INF_D, 1.0 / jnp.where(d == 0, 1.0, d))
+
+    def test_prim(pid, best_t):
+        """Unified tri/sphere test for global prim id [R]. Returns
+        (t, n, mat) with t=INF on miss."""
+        is_tri = (pid >= 0) & (pid < num_t)
+        tid = jnp.clip(pid, 0, num_t - 1)
+        tp = geom.tri_p[tid]
+        e1 = tp[:, 1] - tp[:, 0]
+        e2 = tp[:, 2] - tp[:, 0]
+        sv = o - tp[:, 0]
+        s1 = jnp.cross(d, e2)
+        s2 = jnp.cross(sv, e1)
+        den = jnp.sum(s1 * e1, axis=-1)
+        inv = jnp.where(den == 0, 0.0, 1.0 / jnp.where(den == 0, 1.0, den))
+        t_tri = jnp.sum(s2 * e2, axis=-1) * inv
+        b1 = jnp.sum(s1 * sv, axis=-1) * inv
+        b2 = jnp.sum(s2 * d, axis=-1) * inv
+        tri_ok = (is_tri & (den != 0) & (t_tri >= min_t)
+                  & (t_tri <= jnp.minimum(max_t, best_t))
+                  & (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1))
+        tn = geom.tri_n[tid]
+        n_tri = (tn[:, 0] * (1.0 - b1 - b2)[:, None] + tn[:, 1] * b1[:, None]
+                 + tn[:, 2] * b2[:, None])
+        n_tri = n_tri / jnp.maximum(
+            jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-20)
+
+        is_sph = pid >= num_t
+        qid = jnp.clip(pid - num_t, 0, geom.num_spheres - 1)
+        c = geom.sph_c[qid]
+        r = geom.sph_r[qid]
+        oc = o - c
+        b = 2.0 * jnp.sum(oc * d, axis=-1)
+        cc = jnp.sum(oc * oc, axis=-1) - r * r
+        delta = b * b - 4.0 * cc
+        sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+        t1s = (-b - sq) / 2.0
+        t2s = (-b + sq) / 2.0
+        lim = jnp.minimum(max_t, best_t)
+        in1 = (t1s >= min_t) & (t1s <= lim)
+        in2 = (t2s >= min_t) & (t2s <= lim)
+        t_sph = jnp.where(in1, t1s, t2s)
+        sph_ok = is_sph & (delta >= 0) & (in1 | in2)
+        p_hit = o + t_sph[:, None] * d
+        n_sph = (p_hit - c)
+        n_sph = n_sph / jnp.maximum(
+            jnp.linalg.norm(n_sph, axis=-1, keepdims=True), 1e-20)
+
+        t_out = jnp.where(tri_ok, t_tri, jnp.where(sph_ok, t_sph, INF_D))
+        n_out = jnp.where(tri_ok[:, None], n_tri,
+                          jnp.where(sph_ok[:, None], n_sph, 0.0))
+        mat = jnp.where(tri_ok, geom.tri_mat[tid],
+                        jnp.where(sph_ok, geom.sph_mat[qid], -1))
+        return t_out, n_out, mat
+
+    def cond(state):
+        ptr = state[0]
+        if any_hit:
+            return jnp.any((ptr < n_nodes) & ~state[1])
+        return jnp.any(ptr < n_nodes)
+
+    def body(state):
+        ptr, hit_flag, best_t, best_n, best_mat, best_prim = state
+        idx = jnp.clip(ptr, 0, n_nodes - 1)
+        active = ptr < n_nodes
+        lo = bvh.bounds_lo[idx]
+        hi = bvh.bounds_hi[idx]
+        box_hit = active & _bvh_slab(o, inv_d, lo, hi, min_t,
+                                     jnp.minimum(max_t, best_t))
+        leaf = bvh.is_leaf[idx]
+        start = bvh.prim_start[idx]
+        count = bvh.prim_count[idx]
+        do_leaf = box_hit & leaf
+        for pid in _leaf_prims(geom, bvh, start, count, 4):
+            pid = jnp.where(do_leaf, pid, -1)
+            t, n, mat = test_prim(pid, best_t)
+            closer = t < best_t
+            best_n = jnp.where(closer[:, None], n, best_n)
+            best_mat = jnp.where(closer, mat, best_mat)
+            best_prim = jnp.where(closer, pid, best_prim)
+            best_t = jnp.where(closer, t, best_t)
+            hit_flag = hit_flag | closer
+        nxt = jnp.where(box_hit & ~leaf, idx + 1, bvh.escape[idx])
+        ptr = jnp.where(active, nxt, ptr)
+        if any_hit:
+            ptr = jnp.where(hit_flag, n_nodes, ptr)
+        return (ptr, hit_flag, best_t, best_n, best_mat, best_prim)
+
+    state = (
+        jnp.zeros((r_count,), jnp.int32),
+        jnp.zeros((r_count,), bool),
+        jnp.full((r_count,), INF_D, o.dtype),
+        jnp.zeros((r_count, 3), o.dtype),
+        jnp.full((r_count,), -1, jnp.int32),
+        jnp.full((r_count,), -1, jnp.int32),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    _, hit_flag, best_t, best_n, best_mat, best_prim = state
+    if any_hit:
+        return hit_flag
+    return Hit(t=best_t, valid=best_t < INF_D, n=best_n, mat=best_mat,
+               prim=best_prim)
+
+
+# --- scene-level dispatch ---------------------------------------------------
+
+def scene_intersect(scene, o, d, min_t, max_t) -> Hit:
+    """Closest-hit using the scene's BVH when attached, else brute force.
+
+    Brute force wins on TPU for small scenes (regular, no divergence);
+    build_scene attaches a BVH above RenderConfig.brute_force_max_tris.
+    """
+    if scene.bvh is not None:
+        return intersect_bvh(scene.geometry, scene.bvh, o, d, min_t, max_t)
+    return intersect(scene.geometry, o, d, min_t, max_t)
+
+
+def scene_occluded(scene, o, d, min_t, max_t):
+    if scene.bvh is not None:
+        return intersect_bvh(scene.geometry, scene.bvh, o, d, min_t, max_t,
+                             any_hit=True)
+    return occluded(scene.geometry, o, d, min_t, max_t)
+
+
+def scene_occluded_segment(scene, a, b, rel_eps: float = 2e-4):
+    """occluded_segment with BVH dispatch."""
+    d = b - a
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-20))
+    conn = d / dist[..., None]
+    max_t = dist * (1.0 - rel_eps) - EPS_F
+    blocked = scene_occluded(scene, a, conn, EPS_F, max_t)
+    return blocked, conn, dist

@@ -71,8 +71,22 @@ def _material_record(mat: C.MaterialInfo | None) -> dict:
     return rec
 
 
+def attach_accelerator(scene, accel: str = "auto",
+                       brute_force_max_tris: int = 2048):
+    """Attach a BVH when the scene is big enough to beat brute force on TPU
+    (accel: "auto" | "brute" | "bvh"; RenderConfig.accelerator)."""
+    from bidirectional_pathtracing_tpu.scene.bvh import build_bvh
+    n_prims = (scene.geometry.num_tris + scene.geometry.num_spheres)
+    want = accel == "bvh" or (accel == "auto"
+                              and n_prims > brute_force_max_tris)
+    if want and scene.bvh is None:
+        scene = scene._replace(bvh=build_bvh(scene.geometry))
+    return scene
+
+
 def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
-                lens_radius: float = 0.0, focal_distance: float = 4.7):
+                lens_radius: float = 0.0, focal_distance: float = 4.7,
+                accel: str = "auto", brute_force_max_tris: int = 2048):
     """Flatten SceneInfo to a Scene pytree (without BVH; attach separately).
 
     Returns (scene, aux) where aux carries host-side metadata (names, bbox).
@@ -156,6 +170,7 @@ def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
         lights=make_lights(lights),
         camera=camera,
     )
+    scene = attach_accelerator(scene, accel, brute_force_max_tris)
     aux = {
         "bbox": (bbox_lo, bbox_hi),
         "names": names,
