@@ -98,8 +98,13 @@ def main(argv=None):
           f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
     if args.camera_settings:
-        print("[bdpt-tpu] -c camera settings files are not supported yet",
-              file=sys.stderr)
+        from bidirectional_pathtracing_tpu.scene.camera_file import (
+            load_camera_settings)
+        scene = scene._replace(camera=load_camera_settings(
+            args.camera_settings, lens_radius=cfg.lens_radius,
+            focal_distance=cfg.focal_distance))
+        print(f"[bdpt-tpu] loaded camera settings from "
+              f"{args.camera_settings}", file=sys.stderr)
 
     res = render(scene, cfg)
     st = res.stats

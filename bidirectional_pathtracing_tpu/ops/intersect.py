@@ -361,18 +361,36 @@ def intersect_bvh(geom: Geometry, bvh, o, d, min_t, max_t,
 
 # --- scene-level dispatch ---------------------------------------------------
 
-def scene_intersect(scene, o, d, min_t, max_t) -> Hit:
-    """Closest-hit using the scene's BVH when attached, else brute force.
+_PALLAS_MAX_TRIS = 131072  # [9,T] f32 must fit VMEM alongside ray tiles
 
-    Brute force wins on TPU for small scenes (regular, no divergence);
-    build_scene attaches a BVH above RenderConfig.brute_force_max_tris.
+
+def _on_tpu() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def scene_intersect(scene, o, d, min_t, max_t) -> Hit:
+    """Closest-hit dispatch.
+
+    TPU: the Pallas Möller–Trumbore kernel (measured ~10x faster than the
+    XLA brute-force scan at 28k tris, and ~80x faster than pointer-chasing
+    BVH traversal, which divergent gathers make hostile to the VPU).
+    CPU / huge scenes: BVH traversal when attached, else the jnp scan.
     """
+    if _on_tpu() and scene.geometry.num_tris <= _PALLAS_MAX_TRIS:
+        from bidirectional_pathtracing_tpu.ops.intersect_pallas import (
+            intersect_pallas, make_tri_soa)
+        return intersect_pallas(scene.geometry, make_tri_soa(scene.geometry),
+                                o, d, min_t, max_t)
     if scene.bvh is not None:
         return intersect_bvh(scene.geometry, scene.bvh, o, d, min_t, max_t)
     return intersect(scene.geometry, o, d, min_t, max_t)
 
 
 def scene_occluded(scene, o, d, min_t, max_t):
+    # Brute force has no early-out advantage for any-hit, so the TPU path
+    # reuses the closest-hit kernel and tests validity.
+    if _on_tpu() and scene.geometry.num_tris <= _PALLAS_MAX_TRIS:
+        return scene_intersect(scene, o, d, min_t, max_t).valid
     if scene.bvh is not None:
         return intersect_bvh(scene.geometry, scene.bvh, o, d, min_t, max_t,
                              any_hit=True)

@@ -1,0 +1,197 @@
+"""Pallas TPU kernel for batched ray-triangle closest-hit.
+
+The [KERNEL] path of SURVEY.md section 2.1/2.2: Möller–Trumbore over a
+triangle soup, laid out for the TPU vector unit:
+
+  - rays in transposed SoA [8, R] (ox oy oz dx dy dz min_t max_t) so each
+    field is a full lane vector; ray tiles of TILE_R columns
+  - triangles in transposed SoA [9, T] resident in VMEM, streamed through
+    the tile in chunks of TRI_CHUNK with a fori_loop; per-chunk [TC, TILE_R]
+    test matrices never touch HBM
+  - running closest-hit (t, prim index) per ray via masked min reductions
+    (the argmin is computed as min-over-iota to stay in pure VPU ops)
+
+The kernel returns (t, prim); shading data (normal via barycentrics,
+material) is gathered afterward with one extra single-triangle evaluation
+per ray — cheaper than carrying it through the reduction.
+
+Spheres (always few) are intersected with the jnp batch path and merged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bidirectional_pathtracing_tpu.core.math import INF_D
+from bidirectional_pathtracing_tpu.ops.intersect import (
+    Hit, sphere_intersect_batch, _ceil_to)
+from bidirectional_pathtracing_tpu.scene.types import Geometry
+
+TILE_R = 512
+TRI_CHUNK = 128
+
+
+def _tri_kernel(rays_ref, tris_ref, t_ref, idx_ref, *, n_chunks):
+    o = [rays_ref[i, :] for i in range(3)]          # [TILE_R]
+    d = [rays_ref[3 + i, :] for i in range(3)]
+    min_t = rays_ref[6, :]
+    max_t = rays_ref[7, :]
+
+    # iota must be integer-typed on TPU; cast for the min-over-index trick
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (TRI_CHUNK, TILE_R), 0).astype(jnp.float32)
+
+    def chunk_body(c, carry):
+        best_t, best_i = carry
+        base = c * TRI_CHUNK
+        v = [tris_ref[k, pl.ds(base, TRI_CHUNK)] for k in range(9)]
+        e1 = [v[3 + k] - v[k] for k in range(3)]    # [TC]
+        e2 = [v[6 + k] - v[k] for k in range(3)]
+
+        # s = o - v0: [TC, TILE_R]
+        s = [o[k][None, :] - v[k][:, None] for k in range(3)]
+        # s1 = d x e2
+        s1 = [d[(k + 1) % 3][None, :] * e2[(k + 2) % 3][:, None]
+              - d[(k + 2) % 3][None, :] * e2[(k + 1) % 3][:, None]
+              for k in range(3)]
+        # s2 = s x e1
+        s2 = [s[(k + 1) % 3] * e1[(k + 2) % 3][:, None]
+              - s[(k + 2) % 3] * e1[(k + 1) % 3][:, None]
+              for k in range(3)]
+        denom = sum(s1[k] * e1[k][:, None] for k in range(3))
+        inv = jnp.where(denom == 0, 0.0,
+                        1.0 / jnp.where(denom == 0, 1.0, denom))
+        t = sum(s2[k] * e2[k][:, None] for k in range(3)) * inv
+        b1 = sum(s1[k] * s[k] for k in range(3)) * inv
+        b2 = sum(s2[k] * d[k][None, :] for k in range(3)) * inv
+        ok = ((denom != 0) & (t >= min_t[None, :])
+              & (t <= jnp.minimum(max_t, best_t)[None, :])
+              & (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1))
+        tm = jnp.where(ok, t, INF_D)
+        cmin = jnp.min(tm, axis=0)                   # [TILE_R]
+        hit_iota = jnp.where(tm <= cmin[None, :], iota + base, INF_D)
+        cidx = jnp.min(hit_iota, axis=0)
+        closer = cmin < best_t
+        best_i = jnp.where(closer, cidx, best_i)
+        best_t = jnp.where(closer, cmin, best_t)
+        return best_t, best_i
+
+    best_t = jnp.full((TILE_R,), INF_D, jnp.float32)
+    best_i = jnp.full((TILE_R,), -1.0, jnp.float32)
+    best_t, best_i = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                       (best_t, best_i))
+    t_ref[0, :] = best_t
+    idx_ref[0, :] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tri_closest_hit_pallas(tri_soa, o, d, min_t, max_t, interpret=False):
+    """tri_soa: [9, Tpad] transposed triangle vertices.  Returns
+    (t [R], prim f32 [R] with -1 for miss)."""
+    r = o.shape[0]
+    rp = _ceil_to(r, TILE_R)
+
+    def pad(a, fill=0.0):
+        return jnp.concatenate(
+            [a, jnp.full((rp - r,) + a.shape[1:], fill, a.dtype)])
+
+    rays = jnp.stack([
+        pad(o[:, 0]), pad(o[:, 1]), pad(o[:, 2]),
+        pad(d[:, 0]), pad(d[:, 1]), pad(d[:, 2], 1.0),
+        pad(jnp.broadcast_to(min_t, (r,))),
+        pad(jnp.broadcast_to(max_t, (r,)), -1.0),
+    ])  # [8, rp]
+    n_chunks = tri_soa.shape[1] // TRI_CHUNK
+
+    t, idx = pl.pallas_call(
+        functools.partial(_tri_kernel, n_chunks=n_chunks),
+        grid=(rp // TILE_R,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tri_soa.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays, tri_soa)
+    return t[0, :r], idx[0, :r]
+
+
+def make_tri_soa(geom: Geometry):
+    """[9, Tpad] transposed vertex layout; invalid/padded tris degenerate."""
+    tp = jnp.where(geom.tri_valid[:, None, None], geom.tri_p, 0.0)
+    t = geom.num_tris
+    tpad = _ceil_to(max(t, TRI_CHUNK), TRI_CHUNK)
+    soa = jnp.zeros((9, tpad), jnp.float32)
+    flat = tp.reshape(t, 9).T  # [9, T] (v0xyz v1xyz v2xyz)
+    return soa.at[:, :t].set(flat)
+
+
+def intersect_pallas(geom: Geometry, tri_soa, o, d, min_t, max_t,
+                     interpret=False) -> Hit:
+    """Closest-hit via the Pallas triangle kernel + jnp spheres."""
+    r = o.shape[0]
+    min_b = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r,))
+    max_b = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r,))
+    t, fidx = tri_closest_hit_pallas(tri_soa, o, d, min_b, max_b,
+                                     interpret=interpret)
+    tid = jnp.clip(fidx.astype(jnp.int32), 0, geom.num_tris - 1)
+    tri_hit = (fidx >= 0) & (t < INF_D)
+
+    # recompute barycentrics/normal for the winning triangle only
+    tp = geom.tri_p[tid]
+    e1 = tp[:, 1] - tp[:, 0]
+    e2 = tp[:, 2] - tp[:, 0]
+    sv = o - tp[:, 0]
+    s1 = jnp.cross(d, e2)
+    s2 = jnp.cross(sv, e1)
+    den = jnp.sum(s1 * e1, axis=-1)
+    inv = jnp.where(den == 0, 0.0, 1.0 / jnp.where(den == 0, 1.0, den))
+    b1 = jnp.sum(s1 * sv, axis=-1) * inv
+    b2 = jnp.sum(s2 * d, axis=-1) * inv
+    tn = geom.tri_n[tid]
+    n_tri = (tn[:, 0] * (1 - b1 - b2)[:, None] + tn[:, 1] * b1[:, None]
+             + tn[:, 2] * b2[:, None])
+    n_tri = n_tri / jnp.maximum(
+        jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-20)
+
+    best_t = jnp.where(tri_hit, t, INF_D)
+    best_n = jnp.where(tri_hit[:, None], n_tri, 0.0)
+    best_mat = jnp.where(tri_hit, geom.tri_mat[tid], -1)
+    best_prim = jnp.where(tri_hit, tid, -1)
+
+    if geom.num_spheres > 0:
+        ts, hs = sphere_intersect_batch(
+            o, d, geom.sph_c, geom.sph_r, min_b, jnp.minimum(max_b, best_t))
+        hs = hs & geom.sph_valid[None, :]
+        ts = jnp.where(hs, ts, INF_D)
+        j = jnp.argmin(ts, axis=-1)
+        rows = jnp.arange(r)
+        tj = ts[rows, j]
+        closer = tj < best_t
+        p_hit = o + tj[:, None] * d
+        nrm = p_hit - geom.sph_c[j]
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+        best_n = jnp.where(closer[:, None], nrm, best_n)
+        best_mat = jnp.where(closer, geom.sph_mat[j], best_mat)
+        best_prim = jnp.where(closer, geom.num_tris + j.astype(jnp.int32),
+                              best_prim)
+        best_t = jnp.where(closer, tj, best_t)
+    return Hit(t=best_t, valid=best_t < INF_D, n=best_n, mat=best_mat,
+               prim=best_prim)

@@ -67,23 +67,47 @@ def _bdpt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
     return bdpt.sample_pass(scene, key, width, height, pix, cfg)
 
 
-def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None) -> RenderResult:
+def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
+           checkpoint_path: Optional[str] = None,
+           checkpoint_every: int = 0) -> RenderResult:
     """Render a full frame.  Returns HDR buffers with rows bottom-up
-    (pixel (0,0) = bottom-left, matching the reference sample buffer)."""
+    (pixel (0,0) = bottom-left, matching the reference sample buffer).
+
+    With checkpoint_path set, accumulation state is persisted every
+    checkpoint_every passes and restored on restart (identical sample
+    stream thanks to the counter-based RNG; utils/checkpoint.py).
+    """
     from bidirectional_pathtracing_tpu.ops import lights as light_ops
+    from bidirectional_pathtracing_tpu.utils import checkpoint as ckpt
 
     w, h = cfg.width, cfg.height
-    key = jax.random.key(cfg.seed if seed is None else seed)
+    the_seed = cfg.seed if seed is None else seed
+    key = jax.random.key(the_seed)
     t0 = time.perf_counter()
+    fp = ckpt.config_fingerprint(cfg, w, h) if checkpoint_path else None
 
     if cfg.integrator == "bdpt":
         eye = jnp.zeros((h * w, 3))
         light = jnp.zeros((h * w, 3))
-        for i in range(cfg.spp):
+        start = 0
+        if checkpoint_path:
+            st = ckpt.load_checkpoint(checkpoint_path, fp)
+            if st is not None and st["seed"] == the_seed:
+                eye = jnp.asarray(st["eye_sum"])
+                light = jnp.asarray(st["light_sum"])
+                start = st["next_pass"]
+        for i in range(start, cfg.spp):
             k = jax.random.fold_in(key, i)
             eye_i, light_i = _bdpt_step(scene, k, cfg, w, h)
             eye = eye + eye_i / cfg.spp
             light = light + light_i  # splats already carry 1/ns_aa
+            if (checkpoint_path and checkpoint_every
+                    and (i + 1) % checkpoint_every == 0 and i + 1 < cfg.spp):
+                ckpt.save_checkpoint(
+                    checkpoint_path, eye_sum=np.asarray(eye),
+                    light_sum=np.asarray(light),
+                    counts=np.full((h * w,), i + 1, np.int32),
+                    next_pass=i + 1, seed=the_seed, fingerprint=fp)
         eye = np.asarray(jax.block_until_ready(eye)).reshape(h, w, 3)
         light = np.asarray(light).reshape(h, w, 3)
         combined = eye + light
