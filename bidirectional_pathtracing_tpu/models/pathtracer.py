@@ -50,7 +50,7 @@ def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, keys, cfg: RenderConfig):
     keys: per-lane PRNG keys [S].
     """
     nl = light_ops.num_lights(scene.lights)
-    if nl == 0:
+    if nl == 0 and scene.envmap is None:
         return jnp.zeros_like(hit_p)
     o2w = make_coord_space(hit_n)
     w_out = to_local(o2w, w_out_w)
@@ -70,6 +70,23 @@ def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, keys, cfg: RenderConfig):
             blocked = scene_occluded(scene, hit_p, s.wi, EPS_F, max_t)
             cos = jnp.abs(jnp.sum(s.wi * hit_n, axis=-1))
             contrib = (s.radiance * f * (cos / jnp.maximum(s.pdf, 1e-12))[..., None])
+            acc += jnp.where(blocked[..., None], 0.0, contrib)
+        total += acc / cfg.light_samples
+
+    # Environment light: the reference appends it to scene->lights when -e
+    # is given (raytraced_renderer.cpp:117-119), so NEE samples it like any
+    # other light via its CDF importance sampler.
+    if scene.envmap is not None:
+        from bidirectional_pathtracing_tpu.ops import envlight
+        acc = jnp.zeros_like(hit_p)
+        for si in range(cfg.light_samples):
+            u4 = rng.uniform(rng.fold(keys, 7500 + si), (4,))
+            rad, wi_w, dist, pdf = envlight.sample_L(scene.envmap, hit_p, u4)
+            wi = to_local(o2w, wi_w)
+            f = bsdf_ops.eval_f(scene.materials, mid, w_out, wi)
+            blocked = scene_occluded(scene, hit_p, wi_w, EPS_F, INF_D)
+            cos = jnp.abs(jnp.sum(wi_w * hit_n, axis=-1))
+            contrib = rad * f * (cos / jnp.maximum(pdf, 1e-12))[..., None]
             acc += jnp.where(blocked[..., None], 0.0, contrib)
         total += acc / cfg.light_samples
     return total
