@@ -97,8 +97,9 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
                  jnp.full((s,), EPS_F), jnp.full((s,), INF_D))
         return carry, out
 
-    us = jnp.stack([rng.uniform(rng.fold(keys, site + i), (3,))
-                    for i in range(nv - 1)]) if nv > 1 else None
+    us = site if isinstance(site, jnp.ndarray) else (
+        jnp.stack([rng.uniform(rng.fold(keys, site + i), (3,))
+                   for i in range(nv - 1)]) if nv > 1 else None)
     # prev_pdf starts at the v1 directional pdf (bidirection.cpp:41)
     init = (o, d, jnp.maximum(dir_pdf, 1e-12), jnp.ones((s, 3)), init_normal,
             v1_alpha, point_pdf, jnp.ones((s,), bool),
@@ -325,6 +326,8 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     keys = rng.lane_keys(key, pixel_ids)
 
     # --- eye subpath ------------------------------------------------------
+    # (a fused [2S] eye+light walk was tried and measured ~20% SLOWER on
+    # TPU than two separate scans — concat/split overhead dominates)
     px = (pixel_ids % width).astype(jnp.float32)
     py = (pixel_ids // width).astype(jnp.float32)
     u = rng.uniform(rng.fold(keys, 1), (2,))
@@ -354,11 +357,29 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     light_img = jnp.zeros((height * width, 3))
 
     # --- connections: i_eye in 1..nv, i_light in 0..nv --------------------
-    for i_eye in range(1, nv + 1):
-        for i_light in range(0, (nv + 1) if light is not None else 1):
+    # batch every combo's shadow segments into ONE occlusion launch
+    combos = [(i_e, i_l) for i_e in range(1, nv + 1)
+              for i_l in range(0, (nv + 1) if light is not None else 1)]
+    seg_combos = [c for c in combos if c[1] >= 1]
+    blocked_by_combo = {}
+    if seg_combos:
+        a_all, b_all = [], []
+        for (i_e, i_l) in seg_combos:
+            a, b = _connection_endpoints(scene, i_e, i_l, eye, light, keys)
+            a_all.append(a)
+            b_all.append(b)
+        from bidirectional_pathtracing_tpu.ops.intersect import (
+            scene_occluded_segment as _socc)
+        blk, _, _ = _socc(scene, jnp.concatenate(a_all),
+                          jnp.concatenate(b_all))
+        blk = blk.reshape(len(seg_combos), s)
+        blocked_by_combo = {c: blk[i] for i, c in enumerate(seg_combos)}
+
+    for (i_eye, i_light) in combos:
             ill, splat_xy, splat_mask = _estimate_radiance(
                 scene, i_eye, i_light, eye, light, keys,
-                width, height, cfg)
+                width, height, cfg,
+                blocked=blocked_by_combo.get((i_eye, i_light)))
             if i_eye == 1:
                 if splat_xy is not None:
                     flat = (splat_xy[:, 1] * width + splat_xy[:, 0])
@@ -370,15 +391,45 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     return eye_L, light_img
 
 
+def _fresh_light_point(scene: Scene, i_eye: int, eye_pos, keys, nl_lights):
+    """The t=1 fresh light sample (bidirection.cpp:332-358), drawn from
+    the combo's fixed RNG site — pure, so recomputation is CSE'd."""
+    s = eye_pos.shape[0]
+    site = 1000 + i_eye * 8
+    lidx2 = rng.randint(rng.fold(keys, site), nl_lights)
+    lp = light_ops.sample_Le_point(
+        scene.lights, lidx2, eye_pos,
+        rng.uniform(rng.fold(keys, site + 1), (2,)))
+    pp = jnp.maximum(lp.point_pdf / nl_lights, 1e-12)
+    return dict(pos=lp.point, n=lp.normal, alpha=lp.radiance / pp[:, None],
+                p=pp, mat=jnp.full((s,), -1, jnp.int32),
+                valid=lp.point_pdf > 0, dir_pdf=lp.dir_pdf)
+
+
+def _connection_endpoints(scene: Scene, i_eye: int, i_light: int,
+                          eye: Subpath, light: Subpath, keys):
+    """(a, b) segment endpoints for a combo with i_light >= 1."""
+    nl_lights = light_ops.num_lights(scene.lights)
+    a = eye.pos[:, 1] if i_eye == 1 else eye.pos[:, i_eye]
+    if i_light == 1:
+        b = _fresh_light_point(scene, i_eye, a, keys, nl_lights)["pos"]
+    else:
+        b = light.pos[:, i_light]
+    return a, b
+
+
 def _estimate_radiance(scene: Scene, i_eye: int, i_light: int,
                        eye: Subpath, light: Subpath | None, keys,
                        width: int, height: int, cfg: RenderConfig,
-                       debug_inject: dict | None = None):
+                       debug_inject: dict | None = None,
+                       blocked=None):
     """estimate_bidirection_radiance for one (i_eye, i_light) combo.
 
     Returns (ill [S,3], splat_xy int [S,2] | None, splat_mask [S] | None).
     debug_inject optionally supplies pre-drawn "light_sample"/"eye_sample"
     dicts (used by the oracle path-replay tests to bypass RNG).
+    blocked: optional precomputed visibility for this combo's segments
+    (sample_pass batches all combos' shadow rays into one kernel launch).
     """
     s = eye.pos.shape[0]
     nl_lights = light_ops.num_lights(scene.lights) if light is not None else 0
@@ -407,19 +458,8 @@ def _estimate_radiance(scene: Scene, i_eye: int, i_light: int,
             if debug_inject is not None and "light_sample" in debug_inject:
                 light_sample = debug_inject["light_sample"]
             else:
-                # fresh light sample toward the eye vertex
-                # (bidirection.cpp:332-358)
-                site = 1000 + i_eye * 8
-                lidx2 = rng.randint(rng.fold(keys, site), nl_lights)
-                lp = light_ops.sample_Le_point(
-                    scene.lights, lidx2, ve["pos"],
-                    rng.uniform(rng.fold(keys, site + 1), (2,)))
-                pp = jnp.maximum(lp.point_pdf / nl_lights, 1e-12)
-                light_sample = dict(
-                    pos=lp.point, n=lp.normal,
-                    alpha=lp.radiance / pp[:, None],
-                    p=pp, mat=jnp.full((s,), -1, jnp.int32),
-                    valid=lp.point_pdf > 0, dir_pdf=lp.dir_pdf)
+                light_sample = _fresh_light_point(scene, i_eye, ve["pos"],
+                                                  keys, nl_lights)
             vl = light_sample
         if i_eye == 1:
             # light path connects to the camera: light-image splat
@@ -451,8 +491,11 @@ def _estimate_radiance(scene: Scene, i_eye: int, i_light: int,
         else:
             f_light = jnp.ones((s, 3))
 
-        blocked, conn, dist = scene_occluded_segment(scene, ve["pos"],
-                                                     vl["pos"])
+        if blocked is None:
+            blocked, conn, dist = scene_occluded_segment(scene, ve["pos"],
+                                                         vl["pos"])
+        else:
+            conn, dist = _seg(ve["pos"], vl["pos"])
         g = jnp.abs(jnp.sum(vl["n"] * conn, axis=-1)
                     * jnp.sum(ve["n"] * conn, axis=-1)) \
             / jnp.maximum(dist * dist, 1e-12)
