@@ -49,11 +49,22 @@ def _estimate_rays_per_sample(cfg: RenderConfig, num_lights: int) -> float:
     return d * (1 + num_lights * cfg.light_samples)
 
 
+def _cell_pixel_ids(cfg: RenderConfig, width: int, height: int):
+    """Flat pixel ids for the render area; -p cell mode restricts to the
+    rect (raytraced_renderer.cpp:302-320 cell semantics)."""
+    if cfg.cell:
+        x, y, dx, dy = cfg.cell
+        xs = jnp.arange(x, min(x + dx, width), dtype=jnp.int32)
+        ys = jnp.arange(y, min(y + dy, height), dtype=jnp.int32)
+        return (ys[:, None] * width + xs[None, :]).reshape(-1)
+    return jnp.arange(width * height, dtype=jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
 def _pt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
     from bidirectional_pathtracing_tpu.core import rng
     from bidirectional_pathtracing_tpu.models import pathtracer as pt
-    pix = jnp.arange(width * height, dtype=jnp.int32)
+    pix = _cell_pixel_ids(cfg, width, height)
     keys = rng.lane_keys(key, pix)
     o, d = pt.sample_camera_rays(scene, keys, width, height, pix, cfg)
     L = pt.trace_radiance(scene, o, d, keys, cfg)
@@ -63,7 +74,7 @@ def _pt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
 def _bdpt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
     from bidirectional_pathtracing_tpu.models import bdpt
-    pix = jnp.arange(width * height, dtype=jnp.int32)
+    pix = _cell_pixel_ids(cfg, width, height)
     return bdpt.sample_pass(scene, key, width, height, pix, cfg)
 
 
@@ -86,6 +97,7 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
     t0 = time.perf_counter()
     fp = ckpt.config_fingerprint(cfg, w, h) if checkpoint_path else None
 
+    pix_np = np.asarray(_cell_pixel_ids(cfg, w, h))
     if cfg.integrator == "bdpt":
         eye = jnp.zeros((h * w, 3))
         light = jnp.zeros((h * w, 3))
@@ -99,7 +111,7 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
         for i in range(start, cfg.spp):
             k = jax.random.fold_in(key, i)
             eye_i, light_i = _bdpt_step(scene, k, cfg, w, h)
-            eye = eye + eye_i / cfg.spp
+            eye = eye.at[pix_np].add(eye_i / cfg.spp)
             light = light + light_i  # splats already carry 1/ns_aa
             if (checkpoint_path and checkpoint_every
                     and (i + 1) % checkpoint_every == 0 and i + 1 < cfg.spp):
@@ -114,11 +126,12 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
         counts = np.full((h, w), cfg.spp, np.int32)
     else:
         eye = light = None
-        acc = jnp.zeros((h * w, 3))
-        s1 = jnp.zeros((h * w,))
-        s2 = jnp.zeros((h * w,))
-        counts_dev = jnp.zeros((h * w,), jnp.int32)
-        active = jnp.ones((h * w,), bool)
+        npix = pix_np.shape[0]
+        acc = jnp.zeros((npix, 3))
+        s1 = jnp.zeros((npix,))
+        s2 = jnp.zeros((npix,))
+        counts_dev = jnp.zeros((npix,), jnp.int32)
+        active = jnp.ones((npix,), bool)
         batch = cfg.samples_per_batch if cfg.adaptive_sampling else cfg.spp
         done = 0
         while done < cfg.spp:
@@ -142,9 +155,13 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
                 active = active & ~converged
                 if not bool(jnp.any(active)):
                     break
-        counts_np = np.asarray(jax.block_until_ready(counts_dev))
-        combined = (np.asarray(acc)
-                    / np.maximum(counts_np, 1)[:, None]).reshape(h, w, 3)
+        counts_cell = np.asarray(jax.block_until_ready(counts_dev))
+        counts_np = np.zeros((h * w,), np.int32)
+        counts_np[pix_np] = counts_cell
+        full = np.zeros((h * w, 3))
+        full[pix_np] = (np.asarray(acc)
+                        / np.maximum(counts_cell, 1)[:, None])
+        combined = full.reshape(h, w, 3)
         counts = counts_np.reshape(h, w)
 
     dt = time.perf_counter() - t0
