@@ -163,114 +163,136 @@ def _seg(a_pos, b_pos):
     return d / dist[..., None], dist
 
 
+def _pg(scene, prev_pos, prev_n, prev_mat, cur_pos, cur_n):
+    """p * G of sampling cur from prev: BSDF sample_pdf (reference
+    zero-wo convention) times the bidirectional geometry factor."""
+    wi, dist = _seg(prev_pos, cur_pos)
+    p = _sample_pdf_ref(scene, prev_mat, wi, prev_n)
+    g = jnp.abs(jnp.sum(wi * prev_n, axis=-1)
+                * jnp.sum(wi * cur_n, axis=-1)) \
+        / jnp.maximum(dist * dist, 1e-12)
+    return p * g
+
+
+def _mis_tables(scene: Scene, eye: Subpath, light: Subpath | None):
+    """Combo-independent MIS ingredients, computed ONCE per pass.
+
+    For interior walk steps the reference recomputes sample_pdf and the
+    geometry factor per (s,t) combo (bidirection.cpp:121-293) — but those
+    values depend only on the subpaths, so we tabulate:
+      A_e[i]: numerator p*G of sampling eye[i] from eye[i+1]
+      B_e[i]: denominator p*G of sampling eye[i] from eye[i-1] (1 at i=2)
+      D_e[i]: delta-skip mask for the (eye[i], eye[i-1]) step
+    and the light-path analogues (B_l[1] = light v1 area pdf,
+    B_l[2] = light dir_pdf * G).  Only the junction step of each walk
+    remains combo-specific.
+    """
+    s = eye.pos.shape[0]
+    nv = eye.pos.shape[1] - 1
+    one = jnp.ones((s,))
+    t = {"A_e": {}, "B_e": {}, "D_e": {}, "A_l": {}, "B_l": {}, "D_l": {}}
+    for i in range(2, nv + 1):
+        if i + 1 <= nv:
+            t["A_e"][i] = _pg(scene, eye.pos[:, i + 1], eye.n[:, i + 1],
+                              eye.mat[:, i + 1], eye.pos[:, i], eye.n[:, i])
+        t["B_e"][i] = one if i == 2 else _pg(
+            scene, eye.pos[:, i - 1], eye.n[:, i - 1], eye.mat[:, i - 1],
+            eye.pos[:, i], eye.n[:, i])
+        t["D_e"][i] = (_is_delta(scene, eye.mat[:, i])
+                       | _is_delta(scene, eye.mat[:, i - 1]))
+    if light is not None:
+        for i in range(1, nv + 1):
+            if i + 1 <= nv:
+                t["A_l"][i] = _pg(scene, light.pos[:, i + 1],
+                                  light.n[:, i + 1], light.mat[:, i + 1],
+                                  light.pos[:, i], light.n[:, i])
+            if i == 1:
+                t["B_l"][i] = light.p[:, 1]
+            elif i == 2:
+                wi, dist = _seg(light.pos[:, 1], light.pos[:, 2])
+                g = jnp.abs(jnp.sum(wi * light.n[:, 1], axis=-1)
+                            * jnp.sum(wi * light.n[:, 2], axis=-1)) \
+                    / jnp.maximum(dist * dist, 1e-12)
+                t["B_l"][i] = light.dir_pdf * g
+            else:
+                t["B_l"][i] = _pg(scene, light.pos[:, i - 1],
+                                  light.n[:, i - 1], light.mat[:, i - 1],
+                                  light.pos[:, i], light.n[:, i])
+            t["D_l"][i] = (_is_delta(scene, light.mat[:, i])
+                           | _is_delta(scene, light.mat[:, i - 1]))
+    return t
+
+
+def _junction_pg(scene, prev, cur_pos, cur_n, use_dir_pdf: bool):
+    """Junction-step numerator: pdf of sampling cur from the OTHER
+    subpath's endpoint `prev` (a vertex dict), times geometry."""
+    wi, dist = _seg(prev["pos"], cur_pos)
+    if use_dir_pdf:
+        p = prev["dir_pdf"]
+    else:
+        p = _sample_pdf_ref(scene, prev["mat"], wi, prev["n"])
+    g = jnp.abs(jnp.sum(wi * prev["n"], axis=-1)
+                * jnp.sum(wi * cur_n, axis=-1)) \
+        / jnp.maximum(dist * dist, 1e-12)
+    return p * g
+
+
 def _mis_weight(scene: Scene, i_eye: int, i_light: int,
                 eye: Subpath, light: Subpath,
                 light_sample: dict | None, eye_sample: dict | None,
-                eye_on_light_pdfs):
-    """multiple_importance_sampling_weight (bidirection.cpp:121-293).
+                eye_on_light_pdfs, tables: dict | None = None):
+    """multiple_importance_sampling_weight (bidirection.cpp:121-293),
+    restructured around precomputed per-subpath tables (_mis_tables): the
+    pdf-ratio walks only evaluate the combo-specific junction terms; all
+    interior p*G factors come from the tables.  Semantics identical to the
+    reference (validated by the oracle path-replay tests).
 
-    eye_on_light_pdfs: (found, point_pdf, dir_pdf_fn) for the t=0 case,
-    where dir_pdf_fn(w_world) returns the light's directional pdf for
-    emitting along w (only used when i_light == 0).
+    eye_on_light_pdfs: (found, point_pdf, dir_pdf_fn) for the t=0 case.
     """
     s = eye.pos.shape[0]
+    if tables is None:
+        tables = _mis_tables(scene, eye, light)
     w_inv = jnp.ones((s,))
-    ratio = jnp.ones((s,))
+    found, eol_point_pdf, eol_dir_pdf_fn = eye_on_light_pdfs
 
     # --- eye-path walk (i from i_eye down to 2) ---------------------------
+    ratio = jnp.ones((s,))
     for i in range(i_eye, 1, -1):
-        cur = _vert(eye, i)
         if i == i_eye:
-            prev = light_sample if i_light == 1 else _vert(light, i_light) \
-                if i_light > 0 else None
-        else:
-            prev = _vert(eye, i + 1)
-        nxt = _vert(eye, i - 1)
-
-        # numerator: pdf of sampling cur from prev (times geometry)
-        if i_light == 0 and i == i_eye:
-            found, point_pdf, _ = eye_on_light_pdfs
-            p = point_pdf
-            g = jnp.ones((s,))
-            nom_invalid = ~found  # weight 0 if endpoint is not on a light
-        else:
-            wi_world, dist = _seg(prev["pos"], cur["pos"])
-            g = jnp.abs(jnp.sum(wi_world * prev["n"], axis=-1)
-                        * jnp.sum(wi_world * cur["n"], axis=-1)) \
-                / jnp.maximum(dist * dist, 1e-12)
-            if i_light == 1 and i == i_eye:
-                p = light_sample["dir_pdf"]
-            elif i_light == 0 and i == i_eye - 1:
-                found, _, dir_pdf_fn = eye_on_light_pdfs
-                p = dir_pdf_fn(wi_world)
+            if i_light == 0:
+                nom = jnp.where(found, eol_point_pdf, jnp.nan)
             else:
-                p = _sample_pdf_ref(scene, prev["mat"], wi_world, prev["n"])
-            nom_invalid = jnp.zeros((s,), bool)
-        nom = p * g
-
-        # denominator: pdf of sampling cur from next (the actual strategy)
-        wi_world2, dist2 = _seg(nxt["pos"], cur["pos"])
-        if i == 2:
-            p2 = jnp.ones((s,))
-            g2 = jnp.ones((s,))
+                prev = light_sample if i_light == 1 else _vert(light, i_light)
+                nom = _junction_pg(scene, prev, eye.pos[:, i], eye.n[:, i],
+                                   use_dir_pdf=(i_light == 1))
+        elif i == i_eye - 1 and i_light == 0:
+            # the on-light vertex emits toward eye[i]: light dir pdf * G
+            wi, dist = _seg(eye.pos[:, i + 1], eye.pos[:, i])
+            g = jnp.abs(jnp.sum(wi * eye.n[:, i + 1], axis=-1)
+                        * jnp.sum(wi * eye.n[:, i], axis=-1)) \
+                / jnp.maximum(dist * dist, 1e-12)
+            nom = eol_dir_pdf_fn(wi) * g
         else:
-            g2 = jnp.abs(jnp.sum(wi_world2 * nxt["n"], axis=-1)
-                         * jnp.sum(wi_world2 * cur["n"], axis=-1)) \
-                / jnp.maximum(dist2 * dist2, 1e-12)
-            p2 = _sample_pdf_ref(scene, nxt["mat"], wi_world2, nxt["n"])
-        denom = p2 * g2
-
-        ratio = ratio * nom / jnp.maximum(denom, 1e-20)
-        ratio = jnp.where(nom_invalid, jnp.nan, ratio)
-
-        skip = _is_delta(scene, cur["mat"]) | _is_delta(scene, nxt["mat"])
-        w_inv = w_inv + jnp.where(skip, 0.0, ratio * ratio)
-
-    if i_light == 0:
-        found, _, _ = eye_on_light_pdfs
-        zero_weight = ~found
-    else:
-        zero_weight = jnp.zeros((s,), bool)
+            nom = tables["A_e"][i]
+        ratio = ratio * nom / jnp.maximum(tables["B_e"][i], 1e-20)
+        w_inv = w_inv + jnp.where(tables["D_e"][i], 0.0, ratio * ratio)
 
     # --- light-path walk (i from i_light down to 1) -----------------------
     ratio = jnp.ones((s,))
     for i in range(i_light, 0, -1):
-        cur = _vert(light, i)
         if i == i_light:
             prev = eye_sample if i_eye == 1 else _vert(eye, i_eye)
+            nom = _junction_pg(scene, prev, light.pos[:, i], light.n[:, i],
+                               use_dir_pdf=(i_eye <= 1))
         else:
-            prev = _vert(light, i + 1)
-        nxt = _vert(light, i - 1)
-
-        wi_world, dist = _seg(prev["pos"], cur["pos"])
-        if i_eye <= 1 and i == i_light:
-            p = eye_sample["dir_pdf"]
-        else:
-            p = _sample_pdf_ref(scene, prev["mat"], wi_world, prev["n"])
-        g = jnp.abs(jnp.sum(wi_world * prev["n"], axis=-1)
-                    * jnp.sum(wi_world * cur["n"], axis=-1)) \
-            / jnp.maximum(dist * dist, 1e-12)
-        nom = p * g
-
-        if i > 1:
-            wi_world2, dist2 = _seg(nxt["pos"], cur["pos"])
-            if i == 2:
-                p2 = light.dir_pdf  # light v1's directional pdf
-            else:
-                p2 = _sample_pdf_ref(scene, nxt["mat"], wi_world2, nxt["n"])
-            g2 = jnp.abs(jnp.sum(wi_world2 * nxt["n"], axis=-1)
-                         * jnp.sum(wi_world2 * cur["n"], axis=-1)) \
-                / jnp.maximum(dist2 * dist2, 1e-12)
-            denom = p2 * g2
-        else:
-            denom = cur["p"]  # area pdf of the light-source vertex
-        ratio = ratio * nom / jnp.maximum(denom, 1e-20)
-
-        skip = _is_delta(scene, cur["mat"]) | _is_delta(scene, nxt["mat"])
-        w_inv = w_inv + jnp.where(skip, 0.0, ratio * ratio)
+            nom = tables["A_l"][i]
+        ratio = ratio * nom / jnp.maximum(tables["B_l"][i], 1e-20)
+        w_inv = w_inv + jnp.where(tables["D_l"][i], 0.0, ratio * ratio)
 
     w = 1.0 / w_inv
-    w = jnp.where(zero_weight | ~jnp.isfinite(w), 0.0, w)
+    if i_light == 0:
+        w = jnp.where(found, w, 0.0)
+    w = jnp.where(jnp.isfinite(w), w, 0.0)
     # MIS weights form a partition of unity for any fixed path; detach so
     # parameter gradients flow through contributions only.
     return jax.lax.stop_gradient(w)
@@ -375,11 +397,13 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
         blk = blk.reshape(len(seg_combos), s)
         blocked_by_combo = {c: blk[i] for i, c in enumerate(seg_combos)}
 
+    mis_tables = _mis_tables(scene, eye, light)
     for (i_eye, i_light) in combos:
             ill, splat_xy, splat_mask = _estimate_radiance(
                 scene, i_eye, i_light, eye, light, keys,
                 width, height, cfg,
-                blocked=blocked_by_combo.get((i_eye, i_light)))
+                blocked=blocked_by_combo.get((i_eye, i_light)),
+                tables=mis_tables)
             if i_eye == 1:
                 if splat_xy is not None:
                     flat = (splat_xy[:, 1] * width + splat_xy[:, 0])
@@ -422,7 +446,7 @@ def _estimate_radiance(scene: Scene, i_eye: int, i_light: int,
                        eye: Subpath, light: Subpath | None, keys,
                        width: int, height: int, cfg: RenderConfig,
                        debug_inject: dict | None = None,
-                       blocked=None):
+                       blocked=None, tables: dict | None = None):
     """estimate_bidirection_radiance for one (i_eye, i_light) combo.
 
     Returns (ill [S,3], splat_xy int [S,2] | None, splat_mask [S] | None).
@@ -512,7 +536,8 @@ def _estimate_radiance(scene: Scene, i_eye: int, i_light: int,
                     eye_sample,
                     (eol[0], eol[1], eol[2]) if eol is not None
                     else (jnp.zeros((s,), bool), jnp.zeros((s,)),
-                          lambda _: jnp.zeros((s,))))
+                          lambda _: jnp.zeros((s,))),
+                    tables=tables)
     ill = jnp.where(big[:, None], contrib * w[:, None], 0.0)
     ill = jnp.where(jnp.isfinite(ill), ill, 0.0)
     return ill, splat_xy, splat_mask

@@ -1,0 +1,35 @@
+"""CBgems (glass gems, caustic light paths) at depth 8 — BASELINE config #3
+— vs a reference-oracle BDPT golden."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference scenes not mounted")
+
+
+def _blocks(img, nb=6):
+    h, w = img.shape[:2]
+    bh, bw = h // nb, w // nb
+    return img[:bh * nb, :bw * nb].reshape(nb, bh, nb, bw, 3).mean((1, 3))
+
+
+def test_gems_bdpt_golden():
+    from bidirectional_pathtracing_tpu.config import RenderConfig
+    from bidirectional_pathtracing_tpu.scene.build import load_scene
+    from bidirectional_pathtracing_tpu.utils.render import render
+    scene, aux = load_scene(f"{REFERENCE}/dae/sky/CBgems.dae", 120, 90)
+    assert aux["num_tris"] > 100
+    cfg = RenderConfig(spp=16, max_ray_depth=8, width=120, height=90,
+                       integrator="bdpt")
+    res = render(scene, cfg)
+    ref = np.load("tests/golden/cbgems_bdpt_120x90_32spp_d8.npz")
+    err = np.abs(_blocks(ref["eye"]) - _blocks(res.eye)) \
+        / (np.abs(_blocks(ref["eye"])) + 0.1)
+    # glass caustic paths are high variance at 16 vs 32 spp
+    assert err.mean() < 0.05, err.mean()
+    assert err.max() < 0.35, err.max()
+    assert abs(res.light.mean() - ref["light"].mean()) \
+        < 0.35 * ref["light"].mean() + 1e-4
