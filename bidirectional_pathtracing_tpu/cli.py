@@ -57,6 +57,14 @@ def build_argparser():
     ap.add_argument("--save-buffers", action="store_true")
     ap.add_argument("--stats-json", default="",
                     help="write render stats to this JSON file")
+    ap.add_argument("--autofocus", type=float, nargs=2, default=None,
+                    metavar=("X", "Y"),
+                    help="autofocus on pixel (x, y) before rendering "
+                         "(the reference's right-click autofocus, "
+                         "pathtracer.cpp:342-349)")
+    ap.add_argument("--envmap-debug", action="store_true",
+                    help="write probability_debug.png next to the output "
+                         "(EnvironmentLight::save_probability_debug)")
     return ap
 
 
@@ -93,6 +101,12 @@ def main(argv=None):
         from bidirectional_pathtracing_tpu.utils.exr import read_exr
         data = read_exr(args.envmap)
         scene = scene._replace(envmap=envlight.build_envmap(data))
+        if args.envmap_debug:
+            import os
+            dbg = os.path.join(os.path.dirname(args.output) or ".",
+                               "probability_debug.png")
+            envlight.save_probability_debug(scene.envmap, dbg)
+            print(f"[bdpt-tpu] saved {dbg}", file=sys.stderr)
     print(f"[bdpt-tpu] scene: {aux['num_tris']} tris, "
           f"{aux['num_spheres']} spheres, loaded in "
           f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
@@ -105,6 +119,15 @@ def main(argv=None):
             focal_distance=cfg.focal_distance))
         print(f"[bdpt-tpu] loaded camera settings from "
               f"{args.camera_settings}", file=sys.stderr)
+
+    if args.autofocus:
+        import jax.numpy as jnp
+        from bidirectional_pathtracing_tpu.utils.render import autofocus
+        fd = autofocus(scene, args.autofocus[0], args.autofocus[1], w, h)
+        scene = scene._replace(camera=scene.camera._replace(
+            focal_distance=jnp.float32(fd)))
+        print(f"[bdpt-tpu] autofocus: focal distance = {fd:.4f}",
+              file=sys.stderr)
 
     res = render(scene, cfg)
     st = res.stats

@@ -45,6 +45,21 @@ def build_envmap(data: np.ndarray) -> Envmap:
     )
 
 
+def save_probability_debug(env: Envmap, path: str = "probability_debug.png"):
+    """EnvironmentLight::save_probability_debug (environment_light.cpp:66-81):
+    per-pixel debug PNG with R = marginal row CDF, G = conditional column
+    CDF, B = 0, alpha = 255."""
+    from bidirectional_pathtracing_tpu.utils.png import write_png
+    m = np.asarray(env.marginal_cdf, np.float64)
+    c = np.asarray(env.conditional_cdf, np.float64)
+    h, w = c.shape
+    img = np.zeros((h, w, 4), np.uint8)
+    img[..., 0] = np.clip(255.0 * m[:, None], 0, 255).astype(np.uint8)
+    img[..., 1] = np.clip(255.0 * c, 0, 255).astype(np.uint8)
+    img[..., 3] = 255
+    write_png(path, img)
+
+
 def _dir_to_xy(d, w, h):
     """dir -> continuous (x, y) pixel coords (environment_light.cpp:84-105)."""
     u = normalize(d)

@@ -107,7 +107,11 @@ def sample_L(lights: Lights, idx, p, u2, reference_quirks: bool = True) -> NEESa
     wi_h = jnp.einsum("ij,...j->...i", _HEMI_TO_WORLD, dir_h)
 
     kind = li.kind
-    wi = jnp.where((kind == LIGHT_AREA)[..., None], wi_a, 0.0)
+    # Default wi is a unit axis (not zero) so unsupported kinds — SPOT is an
+    # empty stub in the reference (light.cpp:156-194) and contributes zero
+    # radiance — still produce a non-degenerate shadow ray.
+    z_axis = jnp.zeros_like(p).at[..., 2].set(1.0)
+    wi = jnp.where((kind == LIGHT_AREA)[..., None], wi_a, z_axis)
     wi = jnp.where((kind == LIGHT_POINT)[..., None], wi_p, wi)
     wi = jnp.where((kind == LIGHT_DIRECTIONAL)[..., None], wi_d, wi)
     wi = jnp.where((kind == LIGHT_HEMISPHERE)[..., None], wi_h, wi)

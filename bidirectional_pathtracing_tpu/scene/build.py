@@ -32,7 +32,7 @@ import numpy as np
 from bidirectional_pathtracing_tpu.scene import collada as C
 from bidirectional_pathtracing_tpu.scene.types import (
     Camera, Lights, Materials, Scene,
-    LIGHT_AREA, LIGHT_DIRECTIONAL, LIGHT_HEMISPHERE, LIGHT_POINT,
+    LIGHT_AREA, LIGHT_DIRECTIONAL, LIGHT_HEMISPHERE, LIGHT_POINT, LIGHT_SPOT,
     MAT_DIFFUSE,
     make_geometry, make_lights, make_materials,
 )
@@ -210,6 +210,18 @@ def _build_light(info: C.LightInfo, T: np.ndarray) -> dict:
                 "direction": -d}
     if t == C.LIGHT_AMBIENT:
         return {"kind": LIGHT_HEMISPHERE, "radiance": info.spectrum}
+    if t == C.LIGHT_SPOT:
+        # gl_scene/spot_light.h:15-22 transforms position/direction; the
+        # static SpotLight is an empty stub in the reference
+        # (light.cpp:156-194: sample_L returns zero, BDPT methods assert).
+        # We keep it in the table so scenes load; it contributes nothing.
+        position = _xform_point_nodiv(T, info.position)
+        direction = _xform_point_nodiv(T, info.direction) - position
+        n = np.linalg.norm(direction)
+        if n > 0:
+            direction = direction / n
+        return {"kind": LIGHT_SPOT, "radiance": info.spectrum,
+                "position": position, "direction": direction}
     raise ValueError(f"unsupported light type {t}")
 
 

@@ -177,3 +177,25 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
     }
     return RenderResult(combined=combined, eye=eye, light=light,
                         sample_counts=counts, stats=stats)
+
+
+def autofocus(scene: Scene, x: float, y: float,
+              width: int, height: int) -> float:
+    """PathTracer::autofocus (pathtracer.cpp:342-349): cast the camera ray
+    through pixel location (x, y), return the hit distance as the new focal
+    distance (inf on a miss, like the reference's uninitialised isect.t).
+
+    Use: scene = scene._replace(camera=scene.camera._replace(
+        focal_distance=jnp.float32(autofocus(scene, x, y, w, h))))
+    """
+    from bidirectional_pathtracing_tpu.ops import camera_ops
+    from bidirectional_pathtracing_tpu.ops.intersect import scene_intersect
+
+    o, d = camera_ops.generate_ray(
+        scene.camera,
+        jnp.asarray([x / width], jnp.float32),
+        jnp.asarray([y / height], jnp.float32))
+    hit = scene_intersect(scene, o, d,
+                          jnp.broadcast_to(scene.camera.nclip, (1,)),
+                          jnp.broadcast_to(scene.camera.fclip, (1,)))
+    return float(hit.t[0])
