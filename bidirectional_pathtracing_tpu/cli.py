@@ -65,11 +65,25 @@ def build_argparser():
     ap.add_argument("--envmap-debug", action="store_true",
                     help="write probability_debug.png next to the output "
                          "(EnvironmentLight::save_probability_debug)")
+    ap.add_argument("--visualize-bvh", nargs="?", const="", default=None,
+                    metavar="NAV",
+                    help="write <out>_bvh.png visualizing the BVH (the "
+                         "reference's VISUALIZE mode); NAV is a walk string "
+                         "of l/r/u applied from the root, mirroring the "
+                         "arrow keys (raytraced_renderer.cpp:560-574)")
+    ap.add_argument("--bvh-rays", type=int, default=0, metavar="STRIDE",
+                    help="overlay primary rays every STRIDE pixels on the "
+                         "BVH visualization (yellow=hit red=miss, "
+                         "raytraced_renderer.cpp:439-463); 0 = off")
     return ap
 
 
 def main(argv=None):
-    args = build_argparser().parse_args(argv)
+    ap = build_argparser()
+    args = ap.parse_args(argv)
+    if args.visualize_bvh and (set(args.visualize_bvh) - set("lru")):
+        ap.error(f"--visualize-bvh: invalid walk {args.visualize_bvh!r} "
+                 "(use only l/r/u)")
 
     from bidirectional_pathtracing_tpu.config import RenderConfig
     from bidirectional_pathtracing_tpu.scene.build import load_scene
@@ -144,6 +158,19 @@ def main(argv=None):
     if args.stats_json:
         with open(args.stats_json, "w") as f:
             json.dump(st, f)
+    if args.visualize_bvh is not None:
+        from bidirectional_pathtracing_tpu.utils.bvh_vis import (
+            BVHVisualizer, collect_ray_log, save_visualization)
+        vis = BVHVisualizer(scene)
+        vis.navigate(args.visualize_bvh)
+        ray_log = (collect_ray_log(scene, w, h, args.bvh_rays)
+                   if args.bvh_rays else None)
+        imgv = vis.render(w, h, ray_log=ray_log, ray_stride=1)
+        bvh_path = (args.output[:-4] if args.output.endswith(".png")
+                    else args.output) + "_bvh.png"
+        save_visualization(bvh_path, imgv)
+        print(f"[bdpt-tpu] saved {bvh_path} (node {vis.current()})",
+              file=sys.stderr)
     print(f"[bdpt-tpu] saved {args.output}", file=sys.stderr)
 
 
