@@ -75,6 +75,15 @@ def build_argparser():
                     help="overlay primary rays every STRIDE pixels on the "
                          "BVH visualization (yellow=hit red=miss, "
                          "raytraced_renderer.cpp:439-463); 0 = off")
+    ap.add_argument("--upsample", type=int, default=0, metavar="N",
+                    help="apply N rounds of Loop subdivision to every mesh "
+                         "before rendering (the reference EDIT-mode 'u' key)")
+    ap.add_argument("--downsample", type=int, default=0, metavar="N",
+                    help="apply N rounds of quadric simplification "
+                         "(EDIT-mode 'd')")
+    ap.add_argument("--resample", type=int, default=0, metavar="N",
+                    help="apply N rounds of isotropic remeshing "
+                         "(EDIT-mode 'i')")
     return ap
 
 
@@ -107,9 +116,13 @@ def main(argv=None):
 
     print(f"[bdpt-tpu] loading scene {args.scene}", file=sys.stderr)
     t0 = time.perf_counter()
+    mesh_ops = (["upsample"] * args.upsample
+                + ["downsample"] * args.downsample
+                + ["resample"] * args.resample)
     scene, aux = load_scene(args.scene, w, h,
                             lens_radius=cfg.lens_radius,
-                            focal_distance=cfg.focal_distance)
+                            focal_distance=cfg.focal_distance,
+                            mesh_ops=tuple(mesh_ops))
     if args.envmap:
         from bidirectional_pathtracing_tpu.ops import envlight
         from bidirectional_pathtracing_tpu.utils.exr import read_exr

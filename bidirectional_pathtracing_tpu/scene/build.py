@@ -86,8 +86,13 @@ def attach_accelerator(scene, accel: str = "auto",
 
 def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
                 lens_radius: float = 0.0, focal_distance: float = 4.7,
-                accel: str = "auto", brute_force_max_tris: int = 2048):
+                accel: str = "auto", brute_force_max_tris: int = 2048,
+                mesh_ops: tuple = ()):
     """Flatten SceneInfo to a Scene pytree (without BVH; attach separately).
+
+    mesh_ops: sequence of "upsample" / "downsample" / "resample" applied to
+    every polymesh before triangulation (the reference's EDIT-mode u/d/i
+    keys, application.cpp:504-512 — which call unimplemented stubs there).
 
     Returns (scene, aux) where aux carries host-side metadata (names, bbox).
     """
@@ -137,9 +142,33 @@ def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
             names.append(("sphere", node.name))
         elif isinstance(inst, C.PolymeshInfo):
             verts = np.stack([_xform_point(T, v) for v in inst.vertices])
-            normals = _vertex_normals(verts, inst.polygons)
+            polygons = inst.polygons
+            if mesh_ops:
+                from bidirectional_pathtracing_tpu.scene.meshedit import (
+                    HalfedgeMesh)
+                # The reference's boundary-walk normal flip (see
+                # halfedge.py) applies per vertex; subdivision creates
+                # interior vertices on open sheets, which would get the
+                # opposite (winding) orientation and shade black under the
+                # one-sided diffuse BSDF.  Record the original mesh's
+                # dominant orientation (reference normals vs winding
+                # normals) and orient the edited mesh's winding normals
+                # the same way instead.
+                ref_n = _vertex_normals(verts, polygons)
+                wind_n = _winding_vertex_normals(verts, polygons)
+                s = float(np.sign(np.sum(ref_n * wind_n)) or 1.0)
+                hm = HalfedgeMesh.build(verts, [list(p) for p in polygons])
+                pos, tris = hm.to_arrays()      # triangulate for the ops
+                hm = HalfedgeMesh.from_arrays(pos, tris)
+                for op in mesh_ops:
+                    getattr(hm, op)()
+                verts, tris = hm.to_arrays()
+                polygons = [list(t) for t in tris]
+                normals = s * _winding_vertex_normals(verts, polygons)
+            else:
+                normals = _vertex_normals(verts, polygons)
             mid = add_material(inst.material)
-            for poly in inst.polygons:
+            for poly in polygons:
                 idx = np.asarray(poly)
                 for k in range(1, len(idx) - 1):
                     i0, i1, i2 = idx[0], idx[k], idx[k + 1]
@@ -179,6 +208,21 @@ def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
         "material_records": materials,
     }
     return scene, aux
+
+
+def _winding_vertex_normals(verts: np.ndarray, polygons) -> np.ndarray:
+    """Plain area-weighted winding vertex normals (no boundary flip)."""
+    n = np.zeros_like(verts)
+    for poly in polygons:
+        idx = np.asarray(poly)
+        for k in range(1, len(idx) - 1):
+            i0, i1, i2 = idx[0], idx[k], idx[k + 1]
+            c = np.cross(verts[i1] - verts[i0], verts[i2] - verts[i0])
+            n[i0] += c
+            n[i1] += c
+            n[i2] += c
+    ln = np.linalg.norm(n, axis=1, keepdims=True)
+    return n / np.maximum(ln, 1e-20)
 
 
 def _build_light(info: C.LightInfo, T: np.ndarray) -> dict:
