@@ -1,0 +1,49 @@
+import time
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bidirectional_pathtracing_tpu.config import RenderConfig
+from bidirectional_pathtracing_tpu.scene.build import load_scene
+from bidirectional_pathtracing_tpu.parallel.render import (
+    make_render_mesh, render_step_sharded)
+from bidirectional_pathtracing_tpu.models import bdpt
+
+W, H = 480, 360
+scene, _ = load_scene("/root/reference/dae/sky/CBspheres.dae", W, H)
+cfg = RenderConfig(spp=32, max_ray_depth=5, width=W, height=H,
+                   integrator="bdpt")
+mesh = make_render_mesh(jax.devices())
+scene_dev = jax.device_put(scene, NamedSharding(mesh, P()))
+key = jax.random.key(0)
+
+for chunk in (1, 4, 8):
+    out = render_step_sharded(scene_dev, key, mesh, cfg, chunk)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    n = max(1, 16 // chunk)
+    for i in range(n):
+        out = render_step_sharded(scene_dev, jax.random.fold_in(key, i),
+                                  mesh, cfg, chunk)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"chunk={chunk}: {dt*1e3:8.2f} ms/step -> "
+          f"{W*H*chunk/dt/1e6:.2f} Msamples/s")
+
+# standalone sample_pass, scene already on device
+pixel_ids = jnp.arange(W * H, dtype=jnp.int32)
+
+
+@jax.jit
+def full(scene, key):
+    return bdpt.sample_pass(scene, key, W, H, pixel_ids, cfg)
+
+
+out = full(scene_dev, key)
+jax.block_until_ready(out)
+t0 = time.perf_counter()
+for i in range(8):
+    out = full(scene_dev, jax.random.fold_in(key, i))
+jax.block_until_ready(out)
+dt = (time.perf_counter() - t0) / 8
+print(f"standalone pass (device scene): {dt*1e3:8.2f} ms")
