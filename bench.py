@@ -39,17 +39,20 @@ def main():
     scene = jax.device_put(scene, NamedSharding(mesh, P()))
     key = jax.random.key(0)
 
-    # warmup/compile
+    import numpy as np
+
+    # warmup/compile (np.asarray = hard sync: block_until_ready is not a
+    # reliable barrier through the axon device tunnel)
     chunk = 4
     eye, light = render_step_sharded(scene, key, mesh, cfg, chunk)
-    jax.block_until_ready((eye, light))
+    np.asarray(eye)
 
     n_chunks = spp // chunk
     t0 = time.perf_counter()
     for i in range(n_chunks):
         eye, light = render_step_sharded(
             scene, jax.random.fold_in(key, i), mesh, cfg, chunk)
-    jax.block_until_ready((eye, light))
+    np.asarray(eye), np.asarray(light)
     dt = time.perf_counter() - t0
 
     samples = width * height * n_chunks * chunk
