@@ -55,6 +55,20 @@ def build_argparser():
     ap.add_argument("--integrator", choices=["bdpt", "pt"], default="bdpt")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save-buffers", action="store_true")
+    ap.add_argument("--no-rate-image", action="store_true",
+                    help="skip the <out>_rate.png sampling-rate heatmap")
+    ap.add_argument("--accelerator", choices=["auto", "brute", "bvh"],
+                    default="auto",
+                    help="intersection backend (RenderConfig.accelerator)")
+    ap.add_argument("--bvh-leaf-size", type=int, default=4,
+                    help="BVH max primitives per leaf (reference bvh.h:61)")
+    ap.add_argument("--brute-max-tris", type=int, default=2048,
+                    help="auto mode: stay brute-force below this many prims")
+    ap.add_argument("--samples-per-chunk", type=int, default=0,
+                    help="camera sample passes folded into one device step")
+    ap.add_argument("--dump-camera", default="", metavar="FILE",
+                    help="write camera settings file (the reference GUI 'd' "
+                         "key, camera.cpp:152-170) and continue")
     ap.add_argument("--stats-json", default="",
                     help="write render stats to this JSON file")
     ap.add_argument("--autofocus", type=float, nargs=2, default=None,
@@ -112,6 +126,12 @@ def main(argv=None):
                            and args.integrator == "pt"),
         envmap_path=args.envmap, output=args.output, seed=args.seed,
         cell=tuple(args.cell) if args.cell else None,
+        accelerator=args.accelerator,
+        bvh_max_leaf_size=args.bvh_leaf_size,
+        brute_force_max_tris=args.brute_max_tris,
+        samples_per_chunk=args.samples_per_chunk,
+        save_rate_image=not args.no_rate_image,
+        save_eye_light_images=args.save_buffers,
     )
 
     print(f"[bdpt-tpu] loading scene {args.scene}", file=sys.stderr)
@@ -122,6 +142,9 @@ def main(argv=None):
     scene, aux = load_scene(args.scene, w, h,
                             lens_radius=cfg.lens_radius,
                             focal_distance=cfg.focal_distance,
+                            accel=cfg.accelerator,
+                            brute_force_max_tris=cfg.brute_force_max_tris,
+                            bvh_max_leaf_size=cfg.bvh_max_leaf_size,
                             mesh_ops=tuple(mesh_ops))
     if args.envmap:
         from bidirectional_pathtracing_tpu.ops import envlight
@@ -147,6 +170,14 @@ def main(argv=None):
         print(f"[bdpt-tpu] loaded camera settings from "
               f"{args.camera_settings}", file=sys.stderr)
 
+    if args.dump_camera:
+        from bidirectional_pathtracing_tpu.scene.camera_file import (
+            dump_camera_settings)
+        dump_camera_settings(scene.camera, args.dump_camera, w, h,
+                             orbit=aux.get("orbit"))
+        print(f"[bdpt-tpu] dumped camera settings to {args.dump_camera}",
+              file=sys.stderr)
+
     if args.autofocus:
         import jax.numpy as jnp
         from bidirectional_pathtracing_tpu.utils.render import autofocus
@@ -164,8 +195,9 @@ def main(argv=None):
           f"~{st['est_mrays_per_s']:.2f} Mrays/s)", file=sys.stderr)
 
     img.save_image(args.output, res.combined)
-    img.save_sampling_rate_image(args.output, res.sample_counts, cfg.spp)
-    if args.save_buffers and res.eye is not None:
+    if cfg.save_rate_image:
+        img.save_sampling_rate_image(args.output, res.sample_counts, cfg.spp)
+    if cfg.save_eye_light_images and res.eye is not None:
         img.save_image(args.output[:-4] + "_eye.png", res.eye)
         img.save_image(args.output[:-4] + "_light.png", res.light)
     if args.stats_json:

@@ -41,8 +41,9 @@ class RenderConfig:
     rr_cpdf: float = 0.3
     rr_depth_cap: int = 20
 
-    # BDPT knobs (reference bidirection.h:79; roulette disabled, bidirection.cpp:87-93)
-    min_subpath_length: int = 2
+    # NOTE: the reference declares min_subpath_length (bidirection.h:79) but
+    # only references it from commented-out roulette code
+    # (bidirection.cpp:87-93) — dead there, so not surfaced here.
 
     # Acceleration
     accelerator: str = "auto"         # "auto" | "brute" | "bvh"
@@ -50,7 +51,10 @@ class RenderConfig:
     brute_force_max_tris: int = 2048  # below this, brute force beats BVH on TPU
 
     # Execution
-    samples_per_chunk: int = 0        # 0 = auto; number of camera samples per device step
+    samples_per_chunk: int = 0        # camera samples folded into one jitted
+                                      # step (0/1 = one pass per step); larger
+                                      # chunks enlarge the device wavefront
+                                      # without changing the sample stream
     seed: int = 0
     dtype: str = "float32"
 

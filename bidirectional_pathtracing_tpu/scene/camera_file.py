@@ -46,20 +46,40 @@ def load_camera_settings(path: str, lens_radius=None,
 
 
 def dump_camera_settings(camera: Camera, path: str,
-                         screen_w: int, screen_h: int) -> None:
+                         screen_w: int, screen_h: int,
+                         orbit: dict | None = None) -> None:
+    """Write the reference's exact dump layout (camera.cpp:152-170).
+
+    `orbit` optionally carries the true orbit state from scene build
+    (target/phi/theta/r/min_r/max_r, Application::load placement).  When
+    absent, a consistent orbit is derived from (pos, c2w) with r=1 so that
+    the reference's compute_position (camera.cpp:123-147) run on the loaded
+    state reproduces pos and c2w exactly — not placeholder values.
+    """
     hfov = float(camera.hfov)
     vfov = float(camera.vfov)
     pos = np.asarray(camera.pos, np.float64)
     c2w = np.asarray(camera.c2w, np.float64)
-    view_dir = -c2w[:, 2]
-    target = pos + view_dir  # orbit target unknown; unit distance
+    if orbit is not None:
+        target = np.asarray(orbit["target"], np.float64)
+        phi, theta, r = orbit["phi"], orbit["theta"], orbit["r"]
+        min_r, max_r = orbit["min_r"], orbit["max_r"]
+    else:
+        # dirToCamera = r * (sin phi sin theta, cos phi, sin phi cos theta)
+        # equals r * c2w[:,2]; invert with r = 1.
+        back = c2w[:, 2]
+        phi = float(np.arccos(np.clip(back[1], -1.0, 1.0)))
+        theta = float(np.arctan2(back[0], back[2]))
+        r = 1.0
+        target = pos - back * r
+        min_r, max_r = r / 10.0, r * 20.0
     screen_dist = screen_h / (2.0 * np.tan(np.radians(vfov) / 2))
     lines = [
         f"{hfov} {vfov} {screen_w / screen_h} "
         f"{float(camera.nclip)} {float(camera.fclip)}",
         " ".join(f"{v}" for v in pos) + " "
         + " ".join(f"{v}" for v in target),
-        "0 0 1 0.1 100",
+        f"{phi} {theta} {r} {min_r} {max_r}",
         " ".join(f"{c2w[i, j]}" for i in range(3) for j in range(3)),
         f"{screen_w} {screen_h} {screen_dist}",
         f"{float(camera.focal_distance)} {float(camera.lens_radius)}",

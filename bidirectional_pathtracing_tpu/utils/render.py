@@ -78,6 +78,30 @@ def _bdpt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
     return bdpt.sample_pass(scene, key, width, height, pix, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg", "width", "height", "chunk"))
+def _bdpt_step_chunk(scene: Scene, key, base, cfg: RenderConfig,
+                     width: int, height: int, chunk: int):
+    """`chunk` sample passes in one jitted step (cfg.samples_per_chunk).
+
+    Scans over pass indices base..base+chunk-1 with the same
+    fold_in(key, i) keys as the one-pass step, so the sample stream is
+    bitwise identical to chunk=1 — only dispatch count changes.
+    """
+    from bidirectional_pathtracing_tpu.models import bdpt
+    pix = _cell_pixel_ids(cfg, width, height)
+
+    def body(carry, i):
+        eye_acc, light_acc = carry
+        k = jax.random.fold_in(key, base + i)
+        eye_i, light_i = bdpt.sample_pass(scene, k, width, height, pix, cfg)
+        return (eye_acc + eye_i, light_acc + light_i), None
+
+    npix = pix.shape[0]
+    init = (jnp.zeros((npix, 3)), jnp.zeros((width * height, 3)))
+    (eye, light), _ = jax.lax.scan(body, init, jnp.arange(chunk))
+    return eye, light
+
+
 def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
            checkpoint_path: Optional[str] = None,
            checkpoint_every: int = 0) -> RenderResult:
@@ -108,18 +132,26 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
                 eye = jnp.asarray(st["eye_sum"])
                 light = jnp.asarray(st["light_sum"])
                 start = st["next_pass"]
-        for i in range(start, cfg.spp):
-            k = jax.random.fold_in(key, i)
-            eye_i, light_i = _bdpt_step(scene, k, cfg, w, h)
+        chunk = max(cfg.samples_per_chunk, 1)
+        i = start
+        while i < cfg.spp:
+            n = min(chunk, cfg.spp - i)
+            if n == 1:
+                k = jax.random.fold_in(key, i)
+                eye_i, light_i = _bdpt_step(scene, k, cfg, w, h)
+            else:
+                eye_i, light_i = _bdpt_step_chunk(
+                    scene, key, jnp.int32(i), cfg, w, h, n)
             eye = eye.at[pix_np].add(eye_i / cfg.spp)
             light = light + light_i  # splats already carry 1/ns_aa
+            i += n
             if (checkpoint_path and checkpoint_every
-                    and (i + 1) % checkpoint_every == 0 and i + 1 < cfg.spp):
+                    and i % checkpoint_every == 0 and i < cfg.spp):
                 ckpt.save_checkpoint(
                     checkpoint_path, eye_sum=np.asarray(eye),
                     light_sum=np.asarray(light),
-                    counts=np.full((h * w,), i + 1, np.int32),
-                    next_pass=i + 1, seed=the_seed, fingerprint=fp)
+                    counts=np.full((h * w,), i, np.int32),
+                    next_pass=i, seed=the_seed, fingerprint=fp)
         eye = np.asarray(jax.block_until_ready(eye)).reshape(h, w, 3)
         light = np.asarray(light).reshape(h, w, 3)
         combined = eye + light

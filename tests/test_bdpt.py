@@ -5,8 +5,8 @@ import pytest
 
 from tests.conftest import reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="reference scenes not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not reference_available(),
+                                reason="reference scenes not mounted")]
 
 GOLDEN = "tests/golden"
 

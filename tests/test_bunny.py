@@ -6,8 +6,8 @@ import pytest
 
 from tests.conftest import REFERENCE, reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="reference scenes not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not reference_available(),
+                                reason="reference scenes not mounted")]
 
 
 def _blocks(img, nb=6):

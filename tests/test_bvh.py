@@ -48,6 +48,7 @@ def test_bvh_cornell_box():
 
 
 @pytest.mark.skipif(not reference_available(), reason="no reference scenes")
+@pytest.mark.slow
 def test_bvh_cbbunny_large_mesh():
     from bidirectional_pathtracing_tpu.scene.build import load_scene
     scene, aux = load_scene(f"{REFERENCE}/dae/sky/CBbunny.dae", 120, 90)

@@ -1,3 +1,4 @@
+import pytest
 """Checkpoint/resume: an interrupted render resumed from disk produces the
 same buffers as an uninterrupted one (counter-based sample stream)."""
 
@@ -6,6 +7,8 @@ import numpy as np
 from bidirectional_pathtracing_tpu.config import RenderConfig
 from bidirectional_pathtracing_tpu.scene.procedural import make_cornell_box
 from bidirectional_pathtracing_tpu.utils.render import render
+
+pytestmark = pytest.mark.slow
 
 
 def test_resume_matches_uninterrupted(tmp_path):

@@ -11,6 +11,7 @@ from bidirectional_pathtracing_tpu.scene.procedural import make_cornell_box
 from bidirectional_pathtracing_tpu.scene.types import (
     LIGHT_SPOT, Lights, make_lights)
 from bidirectional_pathtracing_tpu.utils.render import autofocus, render
+import pytest
 
 
 def _append_spot(lights: Lights) -> Lights:
@@ -23,6 +24,7 @@ def _append_spot(lights: Lights) -> Lights:
         lambda a, b: jnp.concatenate([a, b], axis=0), lights, extra)
 
 
+@pytest.mark.slow
 def test_spot_light_contributes_zero_pt():
     """The reference SpotLight::sample_L returns zero (light.cpp:164-167);
     the PT NEE loop visits every light, so adding a spot light must leave
@@ -37,6 +39,7 @@ def test_spot_light_contributes_zero_pt():
     np.testing.assert_allclose(a.combined, b.combined, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_spot_light_bdpt_finite_and_unbiased_direction():
     """Under BDPT the light-subpath start may pick the spot light (the
     reference would assert(0); we yield a zero-contribution subpath).  The

@@ -51,6 +51,7 @@ def test_env_sample_L_is_unbiased_estimator():
     assert abs(est - exact) / exact < 0.05, (est, exact)
 
 
+@pytest.mark.slow
 def test_env_render_matches_oracle():
     from bidirectional_pathtracing_tpu.config import RenderConfig
     from bidirectional_pathtracing_tpu.ops import envlight

@@ -13,6 +13,8 @@ from bidirectional_pathtracing_tpu.models import bdpt, pathtracer as pt
 from bidirectional_pathtracing_tpu.core import rng
 from bidirectional_pathtracing_tpu.scene.procedural import make_cornell_box
 
+pytestmark = pytest.mark.slow
+
 W, H = 24, 16
 
 

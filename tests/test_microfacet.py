@@ -10,8 +10,8 @@ import pytest
 
 from tests.conftest import REFERENCE, reference_available
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="reference scenes not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not reference_available(),
+                                reason="reference scenes not mounted")]
 
 
 @pytest.fixture(scope="module")

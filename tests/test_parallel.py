@@ -13,6 +13,8 @@ from bidirectional_pathtracing_tpu.parallel.render import (
     make_render_mesh, render_frame_sharded)
 from bidirectional_pathtracing_tpu.scene.procedural import make_cornell_box
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def box():

@@ -5,6 +5,7 @@ import numpy as np
 from bidirectional_pathtracing_tpu.config import RenderConfig
 from bidirectional_pathtracing_tpu.scene.procedural import make_cornell_box
 from bidirectional_pathtracing_tpu.utils.render import render
+import pytest
 
 
 def test_adaptive_sampling_stops_converged_pixels():
@@ -24,6 +25,7 @@ def test_adaptive_sampling_stops_converged_pixels():
     assert res.combined.mean() > 0.01
 
 
+@pytest.mark.slow
 def test_adaptive_matches_uniform_when_tolerance_zero():
     box = make_cornell_box()
     base = RenderConfig(spp=6, max_ray_depth=2, width=16, height=12,
@@ -42,6 +44,7 @@ def test_adaptive_matches_uniform_when_tolerance_zero():
     assert full.mean() > 0.9
 
 
+@pytest.mark.slow
 def test_cell_mode_renders_only_rect():
     box = make_cornell_box()
     for integ in ("pt", "bdpt"):

@@ -74,6 +74,7 @@ def test_mode_switch_and_quit():
     assert v._quit
 
 
+@pytest.mark.slow
 def test_progressive_mean_matches_batch_render():
     from bidirectional_pathtracing_tpu.utils.render import render
     v = make_viewer()
