@@ -192,7 +192,8 @@ def main(argv=None):
     print(f"[bdpt-tpu] rendered {st['camera_samples']} samples in "
           f"{st['wall_time_s']:.2f}s "
           f"({st['camera_samples_per_s']:.0f} samples/s, "
-          f"~{st['est_mrays_per_s']:.2f} Mrays/s)", file=sys.stderr)
+          f"{st['mrays_per_s']:.2f} Mrays/s measured, "
+          f"{st['rays_per_sample']:.1f} rays/sample)", file=sys.stderr)
 
     img.save_image(args.output, res.combined)
     if cfg.save_rate_image:

@@ -333,11 +333,18 @@ def _eye_on_light_pdfs(scene: Scene, pos, prev_pos):
 
 
 def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
-                cfg: RenderConfig):
+                cfg: RenderConfig, return_stats: bool = False):
     """One camera-sample-per-pixel BDPT pass.
 
     Returns (eye_L [S,3], light_img [H*W,3]).  light_img carries the
     1/ns_aa factor like the reference's splats (bidirection.cpp:460-461).
+
+    With return_stats, also returns a dict with "rays": the MEASURED count
+    of intersection queries an equivalent per-ray tracer would issue (the
+    reference's total_rays counter, bvh.h:136): walk launches gated by the
+    per-lane alive masks plus connection shadow segments gated by endpoint
+    validity.  (The wavefront hardware launches every lane every step; that
+    static count is width*height agnostic and reported by the driver.)
     """
     s = pixel_ids.shape[0]
     nv = cfg.max_ray_depth + 1           # real vertices per subpath
@@ -412,7 +419,23 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
                         jnp.where(splat_mask[:, None], ill / cfg.spp, 0.0))
             else:
                 eye_L = eye_L + ill
-    return eye_L, light_img
+    if not return_stats:
+        return eye_L, light_img
+
+    # measured rays: walk launch i is live for lanes valid at vertex i
+    rays = jnp.sum(eye.valid[:, 1:nv].astype(jnp.float32))
+    if light is not None:
+        rays += jnp.sum(light.valid[:, 1:nv].astype(jnp.float32))
+    for (i_e, i_l) in seg_combos:
+        pv = eye.valid[:, i_e]
+        if i_l == 1:
+            a = eye.pos[:, 1] if i_e == 1 else eye.pos[:, i_e]
+            pv = pv & _fresh_light_point(scene, i_e, a, keys,
+                                         nl_lights)["valid"]
+        else:
+            pv = pv & light.valid[:, i_l]
+        rays += jnp.sum(pv.astype(jnp.float32))
+    return eye_L, light_img, {"rays": rays}
 
 
 def _fresh_light_point(scene: Scene, i_eye: int, eye_pos, keys, nl_lights):

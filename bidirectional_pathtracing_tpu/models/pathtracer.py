@@ -113,16 +113,25 @@ def _nee_hemisphere(scene: Scene, hit_p, hit_n, w_out_w, mid, keys,
     return acc / n_samples
 
 
-def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig):
+def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig,
+                   return_stats: bool = False):
     """est_radiance_global_illumination for a wavefront of camera rays.
 
-    o, d: [S,3]; keys: per-lane PRNG keys [S].  Returns L [S,3].
+    o, d: [S,3]; keys: per-lane PRNG keys [S].  Returns L [S,3] (and, with
+    return_stats, a dict with "rays": the MEASURED per-ray query count the
+    reference's total_rays counter would report, bvh.h:136 — primary +
+    per-bounce continuations and NEE shadow rays gated by live masks).
     """
     rr = cfg.max_ray_depth == 0
     n_bounces = cfg.rr_depth_cap if rr else max(cfg.max_ray_depth - 1, 0)
+    nl_shadow = light_ops.num_lights(scene.lights) * cfg.light_samples
+    if scene.envmap is not None:
+        nl_shadow += cfg.light_samples
+    s_count = o.shape[0]
 
     hit = scene_intersect(scene, o, d, scene.camera.nclip,
                           scene.camera.fclip)
+    rays = jnp.float32(s_count)
     L = jnp.zeros_like(o)
     if scene.envmap is not None:
         from bidirectional_pathtracing_tpu.ops import envlight
@@ -138,7 +147,7 @@ def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig):
     ray_d = d
 
     def bounce(carry, b):
-        L, throughput, alive, hit_p, ray_d, hit_n, mid = carry
+        L, throughput, alive, hit_p, ray_d, hit_n, mid, rays = carry
         kb = jax.vmap(jax.random.fold_in)(keys, jnp.full(keys.shape, 100 + b))
 
         delta = bsdf_ops.is_delta(scene.materials, mid)
@@ -148,6 +157,7 @@ def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig):
         else:
             direct = _nee(scene, hit_p, hit_n, -ray_d, mid, kb, cfg)
         L += jnp.where((alive & ~delta)[..., None], throughput * direct, 0.0)
+        rays += jnp.sum((alive & ~delta).astype(jnp.float32)) * nl_shadow
 
         # continuation (pathtracer.cpp:211-238)
         cont = alive
@@ -162,6 +172,7 @@ def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig):
                              rng.uniform(rng.fold(kb, 6), (3,)))
         wi_w = normalize(to_world(o2w, bs.wi))
         nxt = scene_intersect(scene, hit_p, wi_w, EPS_F, INF_D)
+        rays += jnp.sum(cont.astype(jnp.float32))
         cos = jnp.abs(jnp.sum(wi_w * hit_n, axis=-1))
         weight = bs.f * (cos / bs.pdf)[..., None] * rr_scale
 
@@ -178,15 +189,15 @@ def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig):
         ray_d = jnp.where(alive[..., None], wi_w, ray_d)
         hit_n = jnp.where(alive[..., None], nxt.n, hit_n)
         mid = jnp.where(alive, nxt.mat, mid)
-        return (L, throughput, alive, hit_p, ray_d, hit_n, mid), None
+        return (L, throughput, alive, hit_p, ray_d, hit_n, mid, rays), None
 
-    carry = (L, throughput, alive, hit_p, ray_d, hit.n, hit.mat)
+    carry = (L, throughput, alive, hit_p, ray_d, hit.n, hit.mat, rays)
     if n_bounces > 0:
         carry, _ = jax.lax.scan(bounce, carry, jnp.arange(n_bounces))
 
     # Final vertex still runs direct lighting (the reference's deepest
     # at_least_one_bounce call does NEE before trace=false).
-    L, throughput, alive, hit_p, ray_d, hit_n, mid = carry
+    L, throughput, alive, hit_p, ray_d, hit_n, mid, rays = carry
     kb = rng.fold(keys, 90000 + n_bounces)
     delta = bsdf_ops.is_delta(scene.materials, mid)
     if cfg.direct_hemisphere_sample:
@@ -194,6 +205,9 @@ def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig):
     else:
         direct = _nee(scene, hit_p, hit_n, -ray_d, mid, kb, cfg)
     L += jnp.where((alive & ~delta)[..., None], throughput * direct, 0.0)
+    rays += jnp.sum((alive & ~delta).astype(jnp.float32)) * nl_shadow
+    if return_stats:
+        return L, {"rays": rays}
     return L
 
 

@@ -39,13 +39,16 @@ class RenderResult:
     stats: dict
 
 
-def _estimate_rays_per_sample(cfg: RenderConfig, num_lights: int) -> float:
-    """Rough ray count per camera sample for the Mrays/s stat (the
-    reference counts BVH queries, bvh.h:136)."""
+def _lane_rays_per_sample(cfg: RenderConfig, num_lights: int) -> float:
+    """STATIC hardware lane launches per camera sample: the wavefront
+    intersects every lane at every step regardless of liveness (what the
+    chip actually computes).  The MEASURED per-ray count (the reference's
+    total_rays, bvh.h:136) is carried out of the jitted step instead."""
     d = max(cfg.max_ray_depth, 1)
+    nv = d + 1
     if cfg.integrator == "bdpt":
-        # eye walk + light walk + one shadow ray per (s,t) connection
-        return 2 * d + (d + 1) * (d + 1) * 0.5
+        # two (nv-1)-step walks + one occlusion launch per i_light>=1 combo
+        return 2 * (nv - 1) + nv * nv
     return d * (1 + num_lights * cfg.light_samples)
 
 
@@ -67,15 +70,17 @@ def _pt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
     pix = _cell_pixel_ids(cfg, width, height)
     keys = rng.lane_keys(key, pix)
     o, d = pt.sample_camera_rays(scene, keys, width, height, pix, cfg)
-    L = pt.trace_radiance(scene, o, d, keys, cfg)
-    return L
+    L, st = pt.trace_radiance(scene, o, d, keys, cfg, return_stats=True)
+    return L, st["rays"]
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
 def _bdpt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
     from bidirectional_pathtracing_tpu.models import bdpt
     pix = _cell_pixel_ids(cfg, width, height)
-    return bdpt.sample_pass(scene, key, width, height, pix, cfg)
+    eye, light, st = bdpt.sample_pass(scene, key, width, height, pix, cfg,
+                                      return_stats=True)
+    return eye, light, st["rays"]
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "chunk"))
@@ -91,15 +96,18 @@ def _bdpt_step_chunk(scene: Scene, key, base, cfg: RenderConfig,
     pix = _cell_pixel_ids(cfg, width, height)
 
     def body(carry, i):
-        eye_acc, light_acc = carry
+        eye_acc, light_acc, rays_acc = carry
         k = jax.random.fold_in(key, base + i)
-        eye_i, light_i = bdpt.sample_pass(scene, k, width, height, pix, cfg)
-        return (eye_acc + eye_i, light_acc + light_i), None
+        eye_i, light_i, st = bdpt.sample_pass(scene, k, width, height, pix,
+                                              cfg, return_stats=True)
+        return (eye_acc + eye_i, light_acc + light_i,
+                rays_acc + st["rays"]), None
 
     npix = pix.shape[0]
-    init = (jnp.zeros((npix, 3)), jnp.zeros((width * height, 3)))
-    (eye, light), _ = jax.lax.scan(body, init, jnp.arange(chunk))
-    return eye, light
+    init = (jnp.zeros((npix, 3)), jnp.zeros((width * height, 3)),
+            jnp.float32(0))
+    (eye, light, rays), _ = jax.lax.scan(body, init, jnp.arange(chunk))
+    return eye, light, rays
 
 
 def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
@@ -132,16 +140,18 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
                 eye = jnp.asarray(st["eye_sum"])
                 light = jnp.asarray(st["light_sum"])
                 start = st["next_pass"]
+        rays_total = jnp.float32(0)
         chunk = max(cfg.samples_per_chunk, 1)
         i = start
         while i < cfg.spp:
             n = min(chunk, cfg.spp - i)
             if n == 1:
                 k = jax.random.fold_in(key, i)
-                eye_i, light_i = _bdpt_step(scene, k, cfg, w, h)
+                eye_i, light_i, rays_i = _bdpt_step(scene, k, cfg, w, h)
             else:
-                eye_i, light_i = _bdpt_step_chunk(
+                eye_i, light_i, rays_i = _bdpt_step_chunk(
                     scene, key, jnp.int32(i), cfg, w, h, n)
+            rays_total = rays_total + rays_i
             eye = eye.at[pix_np].add(eye_i / cfg.spp)
             light = light + light_i  # splats already carry 1/ns_aa
             i += n
@@ -158,6 +168,7 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
         counts = np.full((h, w), cfg.spp, np.int32)
     else:
         eye = light = None
+        rays_total = jnp.float32(0)
         npix = pix_np.shape[0]
         acc = jnp.zeros((npix, 3))
         s1 = jnp.zeros((npix,))
@@ -170,7 +181,8 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
             n = min(batch, cfg.spp - done)
             for i in range(n):
                 k = jax.random.fold_in(key, done + i)
-                L = _pt_step(scene, k, cfg, w, h)
+                L, rays_i = _pt_step(scene, k, cfg, w, h)
+                rays_total = rays_total + rays_i
                 acc = acc + jnp.where(active[:, None], L, 0.0)
                 lum = jnp.sum(L * jnp.array([0.2126, 0.7152, 0.0722]), -1)
                 s1 = s1 + jnp.where(active, lum, 0.0)
@@ -198,14 +210,18 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
 
     dt = time.perf_counter() - t0
     n_samples = int(counts.sum())
-    rays = n_samples * _estimate_rays_per_sample(
+    rays = float(rays_total)   # measured (carried out of the jitted steps)
+    lane_rays = n_samples * _lane_rays_per_sample(
         cfg, light_ops.num_lights(scene.lights))
     stats = {
         "wall_time_s": dt,
         "camera_samples": n_samples,
         "camera_samples_per_s": n_samples / dt,
-        "est_rays": rays,
-        "est_mrays_per_s": rays / dt / 1e6,
+        "rays": rays,
+        "mrays_per_s": rays / dt / 1e6,
+        "lane_rays": lane_rays,
+        "lane_mrays_per_s": lane_rays / dt / 1e6,
+        "rays_per_sample": rays / max(n_samples, 1),
     }
     return RenderResult(combined=combined, eye=eye, light=light,
                         sample_counts=counts, stats=stats)

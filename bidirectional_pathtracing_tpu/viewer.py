@@ -90,7 +90,7 @@ class Viewer:
         key = jax.random.fold_in(jax.random.key(self.cfg.seed), self.passes)
         pix = np.asarray(_cell_pixel_ids(cfg1, w, h))
         if self.cfg.integrator == "bdpt":
-            eye_i, light_i = _bdpt_step(self.scene, key, cfg1, w, h)
+            eye_i, light_i, _rays = _bdpt_step(self.scene, key, cfg1, w, h)
             eye_i = np.asarray(eye_i)
             light_i = np.asarray(light_i)
             with self._lock:
@@ -103,7 +103,7 @@ class Viewer:
                 mean = (self._eye_sum + self._light_sum) / self.passes
                 self._frame = mean.reshape(h, w, 3)
         else:
-            L = np.asarray(_pt_step(self.scene, key, cfg1, w, h))
+            L = np.asarray(_pt_step(self.scene, key, cfg1, w, h)[0])
             with self._lock:
                 if self._eye_sum is None:
                     self._eye_sum = np.zeros((h * w, 3))
