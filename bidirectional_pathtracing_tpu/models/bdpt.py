@@ -76,7 +76,11 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
         (o, d, prev_pdf, prev_f, prev_n, alpha_prev, p_prev, alive,
          min_t, max_t) = carry
         u3 = xs
-        hit = scene_intersect(scene, o, d, min_t, max_t)
+        # dead lanes get an empty [min_t, max_t] window: they can never hit
+        # (observationally identical — their outputs are masked by `alive`)
+        # and the clustered TPU kernel then skips their cluster streams
+        hit = scene_intersect(scene, o, d, min_t,
+                              jnp.where(alive, max_t, -1.0))
         alive = alive & hit.valid
         hit_p = o + hit.t[..., None] * d
 

@@ -361,7 +361,13 @@ def intersect_bvh(geom: Geometry, bvh, o, d, min_t, max_t,
 
 # --- scene-level dispatch ---------------------------------------------------
 
-_PALLAS_MAX_TRIS = 131072  # [9,T] f32 must fit VMEM alongside ray tiles
+# Below this triangle count the VMEM-resident brute-force kernel wins (the
+# whole soup is tested anyway and there is no per-cluster control overhead);
+# above it the two-level clustered kernel streams only the clusters each
+# ray tile touches (ops/intersect_clustered.py).  Crossover measured on
+# chip: brute ~equals clustered at ~8k tris, loses 5x+ by 28k (BENCH notes).
+_PALLAS_BRUTE_PREF = 8192
+_PALLAS_MAX_TRIS = 131072  # hard VMEM cap for the brute kernel's [9,T] soa
 
 
 def _on_tpu() -> bool:
@@ -371,16 +377,27 @@ def _on_tpu() -> bool:
 def scene_intersect(scene, o, d, min_t, max_t) -> Hit:
     """Closest-hit dispatch.
 
-    TPU: the Pallas Möller–Trumbore kernel (measured ~10x faster than the
-    XLA brute-force scan at 28k tris, and ~80x faster than pointer-chasing
-    BVH traversal, which divergent gathers make hostile to the VPU).
-    CPU / huge scenes: BVH traversal when attached, else the jnp scan.
+    TPU: small scenes take the VMEM-resident brute-force Pallas kernel;
+    large scenes take the two-level clustered Pallas kernel (the role of
+    the reference's BVH traversal, bvh.cpp:161-188).  CPU: BVH escape-link
+    traversal when attached, else the jnp chunked scan.
     """
-    if _on_tpu() and scene.geometry.num_tris <= _PALLAS_MAX_TRIS:
-        from bidirectional_pathtracing_tpu.ops.intersect_pallas import (
-            intersect_pallas, make_tri_soa)
-        return intersect_pallas(scene.geometry, make_tri_soa(scene.geometry),
-                                o, d, min_t, max_t)
+    if _on_tpu():
+        n_t = scene.geometry.num_tris
+        use_clusters = scene.clusters is not None and (
+            n_t > _PALLAS_BRUTE_PREF or n_t > _PALLAS_MAX_TRIS)
+        if use_clusters:
+            from bidirectional_pathtracing_tpu.ops.intersect_clustered \
+                import intersect_clustered
+            return intersect_clustered(scene.geometry, scene.clusters,
+                                       o, d, min_t, max_t)
+        if n_t <= _PALLAS_MAX_TRIS:
+            from bidirectional_pathtracing_tpu.ops.intersect_pallas import (
+                intersect_pallas, make_tri_soa)
+            return intersect_pallas(scene.geometry,
+                                    make_tri_soa(scene.geometry),
+                                    o, d, min_t, max_t)
+        # > 131k tris with no clusters attached: fall through to BVH/scan.
     if scene.bvh is not None:
         return intersect_bvh(scene.geometry, scene.bvh, o, d, min_t, max_t)
     return intersect(scene.geometry, o, d, min_t, max_t)
@@ -388,8 +405,8 @@ def scene_intersect(scene, o, d, min_t, max_t) -> Hit:
 
 def scene_occluded(scene, o, d, min_t, max_t):
     # Brute force has no early-out advantage for any-hit, so the TPU path
-    # reuses the closest-hit kernel and tests validity.
-    if _on_tpu() and scene.geometry.num_tris <= _PALLAS_MAX_TRIS:
+    # reuses the closest-hit kernels and tests validity.
+    if _on_tpu():
         return scene_intersect(scene, o, d, min_t, max_t).valid
     if scene.bvh is not None:
         return intersect_bvh(scene.geometry, scene.bvh, o, d, min_t, max_t,

@@ -1,0 +1,276 @@
+"""Pallas TPU kernel: two-level clustered ray-triangle closest hit.
+
+The large-scene [KERNEL] path (SURVEY.md hard part #1), filling the role of
+the reference's recursive BVH traversal (reference src/scene/bvh.cpp:161-188)
+with a TPU-native design (see scene/clusters.py for the data layout):
+
+  grid = ray tiles of TILE_R rays; per tile the kernel
+    1. slab-tests the tile against each 128-cluster block's merged AABB
+       (6 scalar reads + one [TILE_R] vector test); a miss skips
+       BLOCK_SIZE * CLUSTER_SIZE = 16384 triangles at once,
+    2. slab-tests a surviving block's member clusters in ONE vectorized
+       [BLOCK_SIZE, TILE_R] pass against the running per-ray best_t (the
+       frontier tightens as hits land), reduces to per-cluster any-ray
+       flags, and packs them into uint32 bitmask scalars (Mosaic forbids
+       dynamic lane indexing, so flags ride in scalar registers),
+    3. for each set bit, DMAs that cluster's [9, CLUSTER_SIZE] vertex
+       block from HBM into VMEM and runs Möller–Trumbore
+       (triangle.cpp:57-95 semantics) for the whole tile at once, updating
+       the per-ray closest hit with the min-over-iota reduction.
+
+Triangles the kernel never streams never cost HBM bandwidth or FLOPs, so
+per-ray cost scales with the clusters a tile touches (the BVH's log-ish
+behavior) instead of with scene size, while every arithmetic op stays a
+dense [CLUSTER_SIZE, TILE_R] VPU op — no pointer chasing, no divergence.
+
+Closest-hit indices are exact for scenes up to 2^24 triangles (the index
+rides in an f32 mantissa like ops/intersect_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bidirectional_pathtracing_tpu.core.math import INF_D
+from bidirectional_pathtracing_tpu.ops.intersect import (
+    Hit, sphere_intersect_batch, _ceil_to)
+from bidirectional_pathtracing_tpu.scene.clusters import (
+    ClusteredTris, BLOCK_SIZE)
+
+TILE_R = 512
+
+
+def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
+                      t_ref, idx_ref,
+                      bt_ref, bi_ref, tri_scr, sem,
+                      *, n_blocks, block_size, n_clusters, tc):
+    o = [rays_ref[i, :] for i in range(3)]          # [TILE_R]
+    d = [rays_ref[3 + i, :] for i in range(3)]
+    min_t = rays_ref[6, :]
+    max_t = rays_ref[7, :]
+    inv_d = [jnp.where(d[k] == 0, INF_D,
+                       1.0 / jnp.where(d[k] == 0, 1.0, d[k]))
+             for k in range(3)]
+
+    bt_ref[0, :] = jnp.full((TILE_R,), INF_D, jnp.float32)
+    bi_ref[0, :] = jnp.full((TILE_R,), -1.0, jnp.float32)
+
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (tc, TILE_R), 0).astype(jnp.float32)
+    # bit masks ride in int32 (Mosaic lacks unsigned reductions); bit 31 is
+    # INT_MIN, which sums and logical-shifts exactly like the uint bit
+    pow2 = jnp.left_shift(
+        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0))
+
+    def mt_cluster(c):
+        """Möller–Trumbore the streamed cluster against the tile."""
+        cp = pltpu.make_async_copy(tris_hbm.at[c], tri_scr, sem)
+        cp.start()
+        cp.wait()
+        v = [tri_scr[k, :] for k in range(9)]       # [tc]
+        e1 = [v[3 + k] - v[k] for k in range(3)]
+        e2 = [v[6 + k] - v[k] for k in range(3)]
+        s = [o[k][None, :] - v[k][:, None] for k in range(3)]
+        s1 = [d[(k + 1) % 3][None, :] * e2[(k + 2) % 3][:, None]
+              - d[(k + 2) % 3][None, :] * e2[(k + 1) % 3][:, None]
+              for k in range(3)]
+        s2 = [s[(k + 1) % 3] * e1[(k + 2) % 3][:, None]
+              - s[(k + 2) % 3] * e1[(k + 1) % 3][:, None]
+              for k in range(3)]
+        denom = sum(s1[k] * e1[k][:, None] for k in range(3))
+        inv = jnp.where(denom == 0, 0.0,
+                        1.0 / jnp.where(denom == 0, 1.0, denom))
+        t = sum(s2[k] * e2[k][:, None] for k in range(3)) * inv
+        b1 = sum(s1[k] * s[k] for k in range(3)) * inv
+        b2 = sum(s2[k] * d[k][None, :] for k in range(3)) * inv
+        best_t = bt_ref[0, :]
+        ok = ((denom != 0) & (t >= min_t[None, :])
+              & (t <= jnp.minimum(max_t, best_t)[None, :])
+              & (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1))
+        tm = jnp.where(ok, t, INF_D)
+        cmin = jnp.min(tm, axis=0)                   # [TILE_R]
+        hit_iota = jnp.where(tm <= cmin[None, :],
+                             iota + (c * tc).astype(jnp.float32), INF_D)
+        cidx = jnp.min(hit_iota, axis=0)
+        closer = cmin < best_t
+        bi_ref[0, :] = jnp.where(closer, cidx, bi_ref[0, :])
+        bt_ref[0, :] = jnp.where(closer, cmin, best_t)
+
+    def block_body(b, _):
+        # level 1: merged block AABB, 6 scalar reads + one vector slab
+        limit0 = jnp.minimum(max_t, bt_ref[0, :])
+        tmin_b = jnp.full((TILE_R,), -INF_D, jnp.float32)
+        tmax_b = jnp.full((TILE_R,), INF_D, jnp.float32)
+        for k in range(3):
+            a = (bb_ref[b, k] - o[k]) * inv_d[k]
+            bq = (bb_ref[b, 3 + k] - o[k]) * inv_d[k]
+            tmin_b = jnp.maximum(tmin_b, jnp.minimum(a, bq))
+            tmax_b = jnp.minimum(tmax_b, jnp.maximum(a, bq))
+        bhit = (tmax_b >= tmin_b) & (tmax_b >= min_t) & (tmin_b <= limit0)
+
+        @pl.when(jnp.any(bhit))
+        def _scan_block():
+            # level 2: all member clusters in one vectorized slab pass
+            base = b * block_size
+            col = pl.ds(pl.multiple_of(base, 128), block_size)
+            limit = jnp.minimum(max_t, bt_ref[0, :])
+            tmin = jnp.full((block_size, TILE_R), -INF_D, jnp.float32)
+            tmax = jnp.full((block_size, TILE_R), INF_D, jnp.float32)
+            for k in range(3):
+                lo_k = cb_ref[k, col]                # [block_size]
+                hi_k = cb_ref[3 + k, col]
+                a = (lo_k[:, None] - o[k][None, :]) * inv_d[k][None, :]
+                bq = (hi_k[:, None] - o[k][None, :]) * inv_d[k][None, :]
+                tmin = jnp.maximum(tmin, jnp.minimum(a, bq))
+                tmax = jnp.minimum(tmax, jnp.maximum(a, bq))
+            chit = ((tmax >= tmin) & (tmax >= min_t[None, :])
+                    & (tmin <= limit[None, :]))
+            flags = jnp.any(chit, axis=1, keepdims=True)   # [block_size, 1]
+            # never stream padding slots past the real cluster count (their
+            # +/-inf sentinel bounds pass the slab test; a DMA would read
+            # out of bounds)
+            slot_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (block_size, 1), 0) + base
+            flags = flags & (slot_ids < n_clusters)
+
+            # level 3: stream surviving clusters (bits in scalar registers)
+            for w in range(block_size // 32):
+                fw = flags[w * 32:(w + 1) * 32]
+                mask = jnp.sum(jnp.where(fw, pow2, jnp.int32(0)))
+
+                @pl.when(mask != jnp.int32(0))
+                def _scan_word(mask=mask, w=w):
+                    def bit_body(cl, __):
+                        bit = jax.lax.shift_right_logical(mask, cl) & 1
+
+                        @pl.when(bit != 0)
+                        def _stream():
+                            mt_cluster(base + w * 32 + cl)
+
+                        return __
+                    jax.lax.fori_loop(0, 32, bit_body, 0)
+
+        return _
+
+    jax.lax.fori_loop(0, n_blocks, block_body, 0)
+    t_ref[0, :] = bt_ref[0, :]
+    idx_ref[0, :] = bi_ref[0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tri_closest_hit_clustered(clusters: ClusteredTris, o, d, min_t, max_t,
+                              interpret=False):
+    """Returns (t [R], padded-slot index f32 [R], -1 on miss)."""
+    r = o.shape[0]
+    rp = _ceil_to(r, TILE_R)
+
+    def pad(a, fill=0.0):
+        return jnp.concatenate(
+            [a, jnp.full((rp - r,) + a.shape[1:], fill, a.dtype)])
+
+    rays = jnp.stack([
+        pad(o[:, 0]), pad(o[:, 1]), pad(o[:, 2]),
+        pad(d[:, 0]), pad(d[:, 1]), pad(d[:, 2], 1.0),
+        pad(jnp.broadcast_to(min_t, (r,))),
+        pad(jnp.broadcast_to(max_t, (r,)), -1.0),
+    ])  # [8, rp]
+
+    tc = clusters.chunk
+    kernel = functools.partial(
+        _clustered_kernel,
+        n_blocks=clusters.n_blocks, block_size=BLOCK_SIZE,
+        n_clusters=clusters.n_clusters, tc=tc)
+
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=(rp // TILE_R,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((clusters.block_b.shape[0], 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, clusters.cluster_b.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # tris stay in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+            jax.ShapeDtypeStruct((1, rp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, TILE_R), jnp.float32),   # best_t
+            pltpu.VMEM((1, TILE_R), jnp.float32),   # best_i
+            pltpu.VMEM((16, tc), jnp.float32),      # streamed cluster
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(rays, clusters.block_b, clusters.cluster_b, clusters.tris)
+    return t[0, :r], idx[0, :r]
+
+
+def intersect_clustered(geom, clusters: ClusteredTris, o, d, min_t, max_t,
+                        interpret=False) -> Hit:
+    """Closest-hit via the clustered kernel + jnp spheres (merged after)."""
+    r = o.shape[0]
+    min_b = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r,))
+    max_b = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r,))
+    t, slot = tri_closest_hit_clustered(clusters, o, d, min_b, max_b,
+                                        interpret=interpret)
+    sid = jnp.clip(slot.astype(jnp.int32), 0,
+                   clusters.pad2global.shape[0] - 1)
+    tid = jnp.clip(clusters.pad2global[sid], 0, geom.num_tris - 1)
+    tri_hit = (slot >= 0) & (t < INF_D)
+
+    # recompute barycentrics/normal for the winning triangle only
+    tp = geom.tri_p[tid]
+    e1 = tp[:, 1] - tp[:, 0]
+    e2 = tp[:, 2] - tp[:, 0]
+    sv = o - tp[:, 0]
+    s1 = jnp.cross(d, e2)
+    s2 = jnp.cross(sv, e1)
+    den = jnp.sum(s1 * e1, axis=-1)
+    inv = jnp.where(den == 0, 0.0, 1.0 / jnp.where(den == 0, 1.0, den))
+    b1 = jnp.sum(s1 * sv, axis=-1) * inv
+    b2 = jnp.sum(s2 * d, axis=-1) * inv
+    tn = geom.tri_n[tid]
+    n_tri = (tn[:, 0] * (1 - b1 - b2)[:, None] + tn[:, 1] * b1[:, None]
+             + tn[:, 2] * b2[:, None])
+    n_tri = n_tri / jnp.maximum(
+        jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-20)
+
+    best_t = jnp.where(tri_hit, t, INF_D)
+    best_n = jnp.where(tri_hit[:, None], n_tri, 0.0)
+    best_mat = jnp.where(tri_hit, geom.tri_mat[tid], -1)
+    best_prim = jnp.where(tri_hit, tid, -1)
+
+    if geom.num_spheres > 0:
+        ts, hs = sphere_intersect_batch(
+            o, d, geom.sph_c, geom.sph_r, min_b, jnp.minimum(max_b, best_t))
+        hs = hs & geom.sph_valid[None, :]
+        ts = jnp.where(hs, ts, INF_D)
+        j = jnp.argmin(ts, axis=-1)
+        rows = jnp.arange(r)
+        tj = ts[rows, j]
+        closer = tj < best_t
+        p_hit = o + tj[:, None] * d
+        nrm = p_hit - geom.sph_c[j]
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+        best_n = jnp.where(closer[:, None], nrm, best_n)
+        best_mat = jnp.where(closer, geom.sph_mat[j], best_mat)
+        best_prim = jnp.where(closer, geom.num_tris + j.astype(jnp.int32),
+                              best_prim)
+        best_t = jnp.where(closer, tj, best_t)
+    return Hit(t=best_t, valid=best_t < INF_D, n=best_n, mat=best_mat,
+               prim=best_prim)

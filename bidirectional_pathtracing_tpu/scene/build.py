@@ -72,22 +72,44 @@ def _material_record(mat: C.MaterialInfo | None) -> dict:
 
 
 def attach_accelerator(scene, accel: str = "auto",
-                       brute_force_max_tris: int = 2048):
-    """Attach a BVH when the scene is big enough to beat brute force on TPU
-    (accel: "auto" | "brute" | "bvh"; RenderConfig.accelerator)."""
+                       brute_force_max_tris: int = 2048,
+                       bvh_max_leaf_size: int = 4):
+    """Attach acceleration structures when the scene is big enough to beat
+    brute force (accel: "auto" | "brute" | "bvh"; RenderConfig.accelerator).
+
+    Two structures are built from the same reference BVH algorithm:
+      - BVHArrays: escape-link traversal, the CPU-backend path,
+      - ClusteredTris: the two-level cut streamed by the Pallas TPU kernel.
+    """
+    import numpy as np
     from bidirectional_pathtracing_tpu.scene.bvh import build_bvh
+    from bidirectional_pathtracing_tpu.scene.clusters import build_clusters
     n_prims = (scene.geometry.num_tris + scene.geometry.num_spheres)
     want = accel == "bvh" or (accel == "auto"
                               and n_prims > brute_force_max_tris)
-    if want and scene.bvh is None:
-        scene = scene._replace(bvh=build_bvh(scene.geometry))
+    if not want:
+        return scene
+    # pull geometry to the host ONCE and hand numpy views to both builders
+    # (per-builder np.asarray of device arrays re-transfers big meshes)
+    g = scene.geometry
+    geom_host = g._replace(
+        tri_p=np.asarray(g.tri_p, np.float32),
+        tri_valid=np.asarray(g.tri_valid),
+        sph_c=np.asarray(g.sph_c, np.float32),
+        sph_r=np.asarray(g.sph_r, np.float32),
+        sph_valid=np.asarray(g.sph_valid))
+    if scene.bvh is None:
+        scene = scene._replace(
+            bvh=build_bvh(geom_host, max_leaf_size=bvh_max_leaf_size))
+    if scene.clusters is None:
+        scene = scene._replace(clusters=build_clusters(geom_host))
     return scene
 
 
 def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
                 lens_radius: float = 0.0, focal_distance: float = 4.7,
                 accel: str = "auto", brute_force_max_tris: int = 2048,
-                mesh_ops: tuple = ()):
+                bvh_max_leaf_size: int = 4, mesh_ops: tuple = ()):
     """Flatten SceneInfo to a Scene pytree (without BVH; attach separately).
 
     mesh_ops: sequence of "upsample" / "downsample" / "resample" applied to
@@ -182,8 +204,9 @@ def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
     if not materials:
         materials.append({"kind": MAT_DIFFUSE, "albedo": np.array([0.5] * 3)})
 
-    camera = _place_camera(cam_info, cam_dir, bbox_lo, bbox_hi,
-                           screen_w, screen_h, lens_radius, focal_distance)
+    camera, orbit = _place_camera(cam_info, cam_dir, bbox_lo, bbox_hi,
+                                  screen_w, screen_h, lens_radius,
+                                  focal_distance)
 
     geometry = make_geometry(
         np.array(tri_p) if tri_p else np.zeros((0, 3, 3)),
@@ -199,13 +222,15 @@ def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
         lights=make_lights(lights),
         camera=camera,
     )
-    scene = attach_accelerator(scene, accel, brute_force_max_tris)
+    scene = attach_accelerator(scene, accel, brute_force_max_tris,
+                               bvh_max_leaf_size)
     aux = {
         "bbox": (bbox_lo, bbox_hi),
         "names": names,
         "num_tris": len(tri_p),
         "num_spheres": len(sph_c),
         "material_records": materials,
+        "orbit": orbit,
     }
     return scene, aux
 
@@ -330,7 +355,7 @@ def _place_camera(cam_info, c_dir, bbox_lo, bbox_hi, screen_w, screen_h,
         [screen_x, screen_y, dir_to_camera / np.linalg.norm(dir_to_camera)],
         axis=1)  # columns
 
-    return Camera(
+    camera = Camera(
         c2w=jnp.asarray(c2w, jnp.float32),
         pos=jnp.asarray(pos, jnp.float32),
         hfov=jnp.asarray(hfov, jnp.float32),
@@ -340,6 +365,11 @@ def _place_camera(cam_info, c_dir, bbox_lo, bbox_hi, screen_w, screen_h,
         lens_radius=jnp.asarray(lens_radius, jnp.float32),
         focal_distance=jnp.asarray(focal_distance, jnp.float32),
     )
+    # Orbit state (Camera::place arguments), kept host-side so camera dumps
+    # write the true targetPos/phi/theta/r/minR/maxR (camera.cpp:152-170).
+    orbit = {"target": target, "phi": float(phi), "theta": float(theta),
+             "r": float(r), "min_r": float(min_r), "max_r": float(max_r)}
+    return camera, orbit
 
 
 def load_scene(path: str, width: int, height: int, **kw):

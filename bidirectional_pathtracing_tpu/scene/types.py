@@ -160,6 +160,9 @@ class Scene(NamedTuple):
     camera: Camera
     bvh: Optional[BVHArrays] = None
     envmap: Optional[Envmap] = None
+    # Two-level triangle clusters for the large-scene TPU kernel
+    # (scene/clusters.py; plays the role of bvh.cpp:161-188 traversal).
+    clusters: Optional["object"] = None
 
 
 def _pad_to(arr: np.ndarray, n: int, fill=0) -> np.ndarray:

@@ -1,0 +1,118 @@
+"""Clustered Pallas kernel vs brute-force oracle (interpret mode on CPU).
+
+Validates the large-scene TPU path (ops/intersect_clustered.py): the
+two-level cluster cut must return bitwise-identical hits to the exhaustive
+jnp scan for any ray set, including segment-clipped shadow rays.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bidirectional_pathtracing_tpu.core.math import INF_D
+from bidirectional_pathtracing_tpu.ops.intersect import intersect
+from bidirectional_pathtracing_tpu.ops.intersect_clustered import (
+    intersect_clustered)
+from bidirectional_pathtracing_tpu.scene.clusters import build_clusters
+from bidirectional_pathtracing_tpu.scene.types import make_geometry
+
+
+def _random_mesh(n_tris, seed=0, extent=4.0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-extent, extent, (n_tris, 1, 3))
+    offsets = rng.normal(0, 0.25, (n_tris, 3, 3))
+    tri_p = (centers + offsets).astype(np.float32)
+    e1 = tri_p[:, 1] - tri_p[:, 0]
+    e2 = tri_p[:, 2] - tri_p[:, 0]
+    n = np.cross(e1, e2)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    tri_n = np.repeat(n[:, None, :], 3, axis=1)
+    tri_mat = rng.integers(0, 5, (n_tris,)).astype(np.int32)
+    return make_geometry(tri_p, tri_n, tri_mat)
+
+
+def _random_rays(n, seed=1, extent=6.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-extent, extent, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("n_tris,n_rays,seed", [
+    (700, 640, 0),      # multiple clusters, partial tile
+    pytest.param(4096, 1024, 7, marks=pytest.mark.slow),  # many blocks
+])
+def test_clustered_matches_bruteforce(n_tris, n_rays, seed):
+    geom = _random_mesh(n_tris, seed=seed)
+    clusters = build_clusters(geom)
+    assert clusters is not None
+    o, d = _random_rays(n_rays, seed=seed + 1)
+    ref = intersect(geom, o, d, 1e-4, INF_D)
+    got = intersect_clustered(geom, clusters, o, d, 1e-4, INF_D,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.prim), np.asarray(ref.prim))
+    np.testing.assert_array_equal(np.asarray(got.mat), np.asarray(ref.mat))
+    hit = np.asarray(ref.valid)
+    np.testing.assert_allclose(np.asarray(got.n)[hit],
+                               np.asarray(ref.n)[hit], rtol=1e-5, atol=1e-6)
+
+
+def test_clustered_segment_window():
+    """min_t/max_t clipping must match (shadow-segment semantics,
+    bidirection.cpp:423-430)."""
+    geom = _random_mesh(900, seed=3)
+    clusters = build_clusters(geom)
+    o, d = _random_rays(512, seed=4)
+    min_t = jnp.full((512,), 0.5)
+    max_t = jnp.full((512,), 3.0)
+    ref = intersect(geom, o, d, min_t, max_t)
+    got = intersect_clustered(geom, clusters, o, d, min_t, max_t,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-6)
+
+
+def test_clustered_with_spheres():
+    """Sphere merge after the triangle kernel keeps global prim ids."""
+    geom = _random_mesh(300, seed=5)
+    geom = make_geometry(
+        np.asarray(geom.tri_p), np.asarray(geom.tri_n),
+        np.asarray(geom.tri_mat),
+        sph_c=np.array([[0.0, 0.0, 0.0], [2.0, 1.0, -1.0]]),
+        sph_r=np.array([1.0, 0.7]),
+        sph_mat=np.array([1, 2], np.int32))
+    clusters = build_clusters(geom)
+    o, d = _random_rays(512, seed=6)
+    ref = intersect(geom, o, d, 1e-4, INF_D)
+    got = intersect_clustered(geom, clusters, o, d, 1e-4, INF_D,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.prim), np.asarray(ref.prim))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-6)
+
+
+def test_cluster_builder_covers_all_triangles():
+    geom = _random_mesh(1000, seed=8)
+    clusters = build_clusters(geom)
+    p2g = np.asarray(clusters.pad2global)
+    real = p2g[p2g >= 0]
+    assert sorted(real.tolist()) == list(range(1000))
+    # every real triangle's vertices inside its cluster AABB
+    cb = np.asarray(clusters.cluster_b)
+    tris = np.asarray(clusters.tris)
+    chunk = clusters.chunk
+    for ci in range(clusters.n_clusters):
+        k = p2g[ci * chunk:(ci + 1) * chunk] >= 0
+        if not k.any():
+            continue
+        v = tris[ci][:9, k].reshape(3, 3, -1)  # [vtx, xyz, n]
+        assert (v.min(axis=(0, 2)) >= cb[0:3, ci] - 1e-4).all()
+        assert (v.max(axis=(0, 2)) <= cb[3:6, ci] + 1e-4).all()
