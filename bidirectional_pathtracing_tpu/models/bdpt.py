@@ -178,8 +178,18 @@ def _pg(scene, prev_pos, prev_n, prev_mat, cur_pos, cur_n):
     return p * g
 
 
-def _mis_tables(scene: Scene, eye: Subpath, light: Subpath | None):
+def _mis_tables(scene: Scene, eye: Subpath, light: Subpath | None,
+                consistent_camera: bool = False):
     """Combo-independent MIS ingredients, computed ONCE per pass.
+
+    consistent_camera=False replicates the reference exactly: the
+    current-strategy denominator for the camera->first-hit step is pinned
+    to 1*1 (bidirection.cpp:203-210) while alternative strategies price
+    the same step as camera dir_pdf * G (bidirection.cpp:246-249) — an
+    internally inconsistent convention that bends the partition of unity
+    by a few percent near the view axis.  With True, the denominator uses
+    the same dir_pdf * G convention and the partition is exact
+    (tests/test_mis.py::test_mis_weights_consistent_camera).
 
     For interior walk steps the reference recomputes sample_pdf and the
     geometry factor per (s,t) combo (bidirection.cpp:121-293) — but those
@@ -199,9 +209,18 @@ def _mis_tables(scene: Scene, eye: Subpath, light: Subpath | None):
         if i + 1 <= nv:
             t["A_e"][i] = _pg(scene, eye.pos[:, i + 1], eye.n[:, i + 1],
                               eye.mat[:, i + 1], eye.pos[:, i], eye.n[:, i])
-        t["B_e"][i] = one if i == 2 else _pg(
-            scene, eye.pos[:, i - 1], eye.n[:, i - 1], eye.mat[:, i - 1],
-            eye.pos[:, i], eye.n[:, i])
+        if i == 2 and consistent_camera:
+            ci = camera_ops.sample_ray_pdf(scene.camera, eye.pos[:, 2], 1, 1)
+            wi, dist = _seg(eye.pos[:, 1], eye.pos[:, 2])
+            g = jnp.abs(jnp.sum(wi * eye.n[:, 2], axis=-1)) \
+                / jnp.maximum(dist * dist, 1e-12)
+            t["B_e"][i] = ci.dir_pdf * g
+        elif i == 2:
+            t["B_e"][i] = one
+        else:
+            t["B_e"][i] = _pg(
+                scene, eye.pos[:, i - 1], eye.n[:, i - 1], eye.mat[:, i - 1],
+                eye.pos[:, i], eye.n[:, i])
         t["D_e"][i] = (_is_delta(scene, eye.mat[:, i])
                        | _is_delta(scene, eye.mat[:, i - 1]))
     if light is not None:
@@ -244,7 +263,8 @@ def _junction_pg(scene, prev, cur_pos, cur_n, use_dir_pdf: bool):
 def _mis_weight(scene: Scene, i_eye: int, i_light: int,
                 eye: Subpath, light: Subpath,
                 light_sample: dict | None, eye_sample: dict | None,
-                eye_on_light_pdfs, tables: dict | None = None):
+                eye_on_light_pdfs, tables: dict | None = None,
+                consistent_camera: bool = False):
     """multiple_importance_sampling_weight (bidirection.cpp:121-293),
     restructured around precomputed per-subpath tables (_mis_tables): the
     pdf-ratio walks only evaluate the combo-specific junction terms; all
@@ -255,7 +275,8 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
     """
     s = eye.pos.shape[0]
     if tables is None:
-        tables = _mis_tables(scene, eye, light)
+        tables = _mis_tables(scene, eye, light,
+                             consistent_camera=consistent_camera)
     w_inv = jnp.ones((s,))
     found, eol_point_pdf, eol_dir_pdf_fn = eye_on_light_pdfs
 

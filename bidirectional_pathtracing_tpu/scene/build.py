@@ -31,7 +31,7 @@ import numpy as np
 
 from bidirectional_pathtracing_tpu.scene import collada as C
 from bidirectional_pathtracing_tpu.scene.types import (
-    Camera, Lights, Materials, Scene,
+    Camera, Geometry, Lights, Materials, Scene,
     LIGHT_AREA, LIGHT_DIRECTIONAL, LIGHT_HEMISPHERE, LIGHT_POINT, LIGHT_SPOT,
     MAT_DIFFUSE,
     make_geometry, make_lights, make_materials,
@@ -208,6 +208,9 @@ def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
                                   screen_w, screen_h, lens_radius,
                                   focal_distance)
 
+    # keep geometry on the HOST until acceleration structures are built —
+    # the builders need the mesh host-side, and a device round trip of a
+    # big mesh over a remote-TPU link dominates load time
     geometry = make_geometry(
         np.array(tri_p) if tri_p else np.zeros((0, 3, 3)),
         np.array(tri_n) if tri_n else np.zeros((0, 3, 3)),
@@ -215,6 +218,7 @@ def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
         np.array(sph_c) if sph_c else None,
         np.array(sph_r) if sph_r else None,
         np.array(sph_mat) if sph_mat else None,
+        to_device=False,
     )
     scene = Scene(
         geometry=geometry,
@@ -224,6 +228,9 @@ def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
     )
     scene = attach_accelerator(scene, accel, brute_force_max_tris,
                                bvh_max_leaf_size)
+    import jax.numpy as jnp
+    scene = scene._replace(
+        geometry=Geometry(*[jnp.asarray(a) for a in scene.geometry]))
     aux = {
         "bbox": (bbox_lo, bbox_hi),
         "names": names,

@@ -173,8 +173,14 @@ def _pad_to(arr: np.ndarray, n: int, fill=0) -> np.ndarray:
 
 
 def make_geometry(tri_p, tri_n, tri_mat, sph_c=None, sph_r=None, sph_mat=None,
-                  min_tris: int = 1, min_spheres: int = 1) -> Geometry:
-    """Build padded Geometry from numpy arrays."""
+                  min_tris: int = 1, min_spheres: int = 1,
+                  to_device: bool = True) -> Geometry:
+    """Build padded Geometry from numpy arrays.
+
+    to_device=False keeps numpy arrays — used while the host still needs
+    the mesh (acceleration builders), avoiding device->host round trips
+    that dominate load time on remote-TPU links.
+    """
     tri_p = np.asarray(tri_p, np.float32).reshape(-1, 3, 3)
     tri_n = np.asarray(tri_n, np.float32).reshape(-1, 3, 3)
     tri_mat = np.asarray(tri_mat, np.int32).reshape(-1)
@@ -191,15 +197,16 @@ def make_geometry(tri_p, tri_n, tri_mat, sph_c=None, sph_r=None, sph_mat=None,
     q = sph_c.shape[0]
     qp = max(q, min_spheres)
     sph_valid = np.arange(qp) < q
+    conv = jnp.asarray if to_device else np.asarray
     return Geometry(
-        tri_p=jnp.asarray(_pad_to(tri_p, tp)),
-        tri_n=jnp.asarray(_pad_to(tri_n, tp)),
-        tri_mat=jnp.asarray(_pad_to(tri_mat, tp)),
-        tri_valid=jnp.asarray(tri_valid),
-        sph_c=jnp.asarray(_pad_to(sph_c, qp)),
-        sph_r=jnp.asarray(_pad_to(sph_r, qp, fill=-1.0)),
-        sph_mat=jnp.asarray(_pad_to(sph_mat, qp)),
-        sph_valid=jnp.asarray(sph_valid),
+        tri_p=conv(_pad_to(tri_p, tp)),
+        tri_n=conv(_pad_to(tri_n, tp)),
+        tri_mat=conv(_pad_to(tri_mat, tp)),
+        tri_valid=conv(tri_valid),
+        sph_c=conv(_pad_to(sph_c, qp)),
+        sph_r=conv(_pad_to(sph_r, qp, fill=-1.0)),
+        sph_mat=conv(_pad_to(sph_mat, qp)),
+        sph_valid=conv(sph_valid),
     )
 
 

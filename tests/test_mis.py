@@ -42,6 +42,20 @@ def _subpath(verts, dir_pdf, p1):
 
 @pytest.mark.parametrize("path_spec", ["floor_back", "wall_floor_back"])
 def test_mis_weights_sum_to_one(path_spec):
+    _check_partition(path_spec, consistent_camera=False, tol=0.05)
+
+
+@pytest.mark.parametrize("path_spec", ["floor_back", "wall_floor_back"])
+def test_mis_weights_consistent_camera(path_spec):
+    """With the internally consistent camera-pdf convention
+    (bdpt._mis_tables(consistent_camera=True)) the partition of unity is
+    tight — the companion check to the reference-parity test above, whose
+    5% slack absorbs the reference's convention quirk
+    (bidirection.cpp:203-210 vs :246-249)."""
+    _check_partition(path_spec, consistent_camera=True, tol=2e-3)
+
+
+def _check_partition(path_spec, consistent_camera, tol):
     scene = make_cornell_box()
     cam_pos = np.asarray(scene.camera.pos)
     light_n = np.array([0, -1.0, 0])
@@ -117,7 +131,8 @@ def test_mis_weights_sum_to_one(path_spec):
                     lambda _: jnp.zeros((1,)))
 
         w = bdpt._mis_weight(scene, s, t, eye, light, light_sample,
-                             eye_sample, eol3)
+                             eye_sample, eol3,
+                             consistent_camera=consistent_camera)
         weights[(s, t)] = float(w[0])
 
     total = sum(weights.values())
@@ -129,4 +144,4 @@ def test_mis_weights_sum_to_one(path_spec):
     # eye_sample.dir_pdf * G (bidirection.cpp:246-249).  We replicate the
     # reference exactly (verified via path replay), so the partition of
     # unity holds only to a few percent near the view axis.
-    assert abs(total - 1.0) < 0.05, (weights, total)
+    assert abs(total - 1.0) < tol, (weights, total)
