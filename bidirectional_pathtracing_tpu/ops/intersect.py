@@ -404,9 +404,18 @@ def scene_intersect(scene, o, d, min_t, max_t) -> Hit:
 
 
 def scene_occluded(scene, o, d, min_t, max_t):
-    # Brute force has no early-out advantage for any-hit, so the TPU path
-    # reuses the closest-hit kernels and tests validity.
     if _on_tpu():
+        n_t = scene.geometry.num_tris
+        use_clusters = scene.clusters is not None and (
+            n_t > _PALLAS_BRUTE_PREF or n_t > _PALLAS_MAX_TRIS)
+        if use_clusters:
+            # early-exit any-hit variant: a hit poisons the ray's window so
+            # its remaining cluster streams are skipped
+            from bidirectional_pathtracing_tpu.ops.intersect_clustered \
+                import occluded_clustered
+            return occluded_clustered(scene.geometry, scene.clusters,
+                                      o, d, min_t, max_t)
+        # brute force has no early-out advantage: reuse closest-hit
         return scene_intersect(scene, o, d, min_t, max_t).valid
     if scene.bvh is not None:
         return intersect_bvh(scene.geometry, scene.bvh, o, d, min_t, max_t,

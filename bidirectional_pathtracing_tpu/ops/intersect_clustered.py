@@ -48,7 +48,8 @@ TILE_R = 512
 def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
                       t_ref, idx_ref,
                       bt_ref, bi_ref, tri_scr, sem,
-                      *, n_blocks, block_size, n_clusters, tc):
+                      *, n_blocks, block_size, n_clusters, tc,
+                      any_hit=False):
     o = [rays_ref[i, :] for i in range(3)]          # [TILE_R]
     d = [rays_ref[3 + i, :] for i in range(3)]
     min_t = rays_ref[6, :]
@@ -99,7 +100,14 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
         cidx = jnp.min(hit_iota, axis=0)
         closer = cmin < best_t
         bi_ref[0, :] = jnp.where(closer, cidx, bi_ref[0, :])
-        bt_ref[0, :] = jnp.where(closer, cmin, best_t)
+        if any_hit:
+            # occlusion semantics: a hit ray needs no closest point — poison
+            # its window so every later slab test fails and its blocks are
+            # skipped (the reference's early-out any-hit, bvh.cpp:131-158,
+            # without its leaf-miss fallthrough bug)
+            bt_ref[0, :] = jnp.where(closer, -INF_D, best_t)
+        else:
+            bt_ref[0, :] = jnp.where(closer, cmin, best_t)
 
     def block_body(b, _):
         # level 1: merged block AABB, 6 scalar reads + one vector slab
@@ -162,10 +170,13 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
     idx_ref[0, :] = bi_ref[0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "any_hit"))
 def tri_closest_hit_clustered(clusters: ClusteredTris, o, d, min_t, max_t,
-                              interpret=False):
-    """Returns (t [R], padded-slot index f32 [R], -1 on miss)."""
+                              interpret=False, any_hit=False):
+    """Returns (t [R], padded-slot index f32 [R], -1 on miss).
+
+    any_hit=True: t is meaningless (windows are poisoned on first hit);
+    only idx >= 0 (hit anywhere in [min_t, max_t]) is defined."""
     r = o.shape[0]
     rp = _ceil_to(r, TILE_R)
 
@@ -184,7 +195,7 @@ def tri_closest_hit_clustered(clusters: ClusteredTris, o, d, min_t, max_t,
     kernel = functools.partial(
         _clustered_kernel,
         n_blocks=clusters.n_blocks, block_size=BLOCK_SIZE,
-        n_clusters=clusters.n_clusters, tc=tc)
+        n_clusters=clusters.n_clusters, tc=tc, any_hit=any_hit)
 
     t, idx = pl.pallas_call(
         kernel,
@@ -274,3 +285,19 @@ def intersect_clustered(geom, clusters: ClusteredTris, o, d, min_t, max_t,
         best_t = jnp.where(closer, tj, best_t)
     return Hit(t=best_t, valid=best_t < INF_D, n=best_n, mat=best_mat,
                prim=best_prim)
+
+
+def occluded_clustered(geom, clusters: ClusteredTris, o, d, min_t, max_t,
+                       interpret=False):
+    """Any-hit [R] via the early-exit kernel variant + jnp spheres."""
+    r = o.shape[0]
+    min_b = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r,))
+    max_b = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r,))
+    _, slot = tri_closest_hit_clustered(clusters, o, d, min_b, max_b,
+                                        interpret=interpret, any_hit=True)
+    hit = slot >= 0
+    if geom.num_spheres > 0:
+        ts, hs = sphere_intersect_batch(
+            o, d, geom.sph_c, geom.sph_r, min_b, max_b)
+        hit = hit | jnp.any(hs & geom.sph_valid[None, :], axis=-1)
+    return hit

@@ -99,6 +99,23 @@ def test_clustered_with_spheres():
                                rtol=1e-6)
 
 
+def test_clustered_any_hit_matches_occlusion():
+    """The early-exit any-hit variant must agree with brute-force
+    occlusion for segment-clipped shadow rays."""
+    from bidirectional_pathtracing_tpu.ops.intersect import occluded
+    from bidirectional_pathtracing_tpu.ops.intersect_clustered import (
+        occluded_clustered)
+    geom = _random_mesh(900, seed=11)
+    clusters = build_clusters(geom)
+    o, d = _random_rays(640, seed=12)
+    min_t = jnp.full((640,), 1e-3)
+    max_t = jnp.full((640,), 4.0)
+    ref = occluded(geom, o, d, min_t, max_t)
+    got = occluded_clustered(geom, clusters, o, d, min_t, max_t,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_cluster_builder_covers_all_triangles():
     geom = _random_mesh(1000, seed=8)
     clusters = build_clusters(geom)
