@@ -15,11 +15,17 @@ Key bindings (RENDER mode, matching the reference):
   k / l      lens radius -/+ 0.05             ; / '   focal dist -/+ 0.1
   r          restart render                   s       save image
   d          dump camera settings             C       toggle cell mode
-  v          VISUALIZE mode (BVH)             q       quit
+  v          VISUALIZE mode (BVH)             e       EDIT mode (meshes)
+  q          quit
 VISUALIZE mode: LEFT/RIGHT/UP walk the BVH (type `left`/`right`/`up` at
 the prompt or use the arrow keys on the HTTP page), a toggles the ray
-overlay, r returns to RENDER mode, e is not supported (no mesh editor
-GUI; mesh edit ops live in scene/meshedit.py).
+overlay, r returns to RENDER mode.
+EDIT mode (the reference's mesh-edit keys, application.cpp:504-512 —
+whose edit ops are unimplemented stubs there; ours work): u Loop
+subdivision, d quadric simplification, i isotropic remeshing, x undo all,
+r back to RENDER mode.  Each op rebuilds the scene (scene/meshedit.py)
+and restarts the render.  Requires the viewer to be constructed with a
+reload_fn (the __main__ entry wires one).
 """
 
 from __future__ import annotations
@@ -35,6 +41,7 @@ import numpy as np
 
 RENDER_MODE = "RENDER"
 VISUALIZE_MODE = "VISUALIZE"
+EDIT_MODE = "EDIT"
 
 
 class Viewer:
@@ -45,13 +52,17 @@ class Viewer:
     the current running-mean HDR frame [H,W,3]."""
 
     def __init__(self, scene, cfg, output: str = "view.png",
-                 scene_name: str = "scene"):
+                 scene_name: str = "scene", reload_fn=None):
         from bidirectional_pathtracing_tpu.config import RenderConfig
         assert isinstance(cfg, RenderConfig)
         self.scene = scene
         self.cfg = cfg
         self.output = output
         self.scene_name = scene_name
+        # EDIT mode: reload_fn(mesh_ops: tuple[str]) -> scene rebuilds the
+        # scene with the accumulated edit ops applied to every mesh
+        self.reload_fn = reload_fn
+        self.mesh_ops: tuple = ()
         self.mode = RENDER_MODE
         self.show_rays = False
         self.render_cell = cfg.cell is not None
@@ -161,12 +172,22 @@ class Viewer:
             return False
         if self.mode == RENDER_MODE:
             return self._key_render_mode(key)
+        if self.mode == EDIT_MODE:
+            return self._key_edit_mode(key)
         return self._key_visualize_mode(key)
 
     def _key_render_mode(self, key: str) -> bool:
         if key in ("v", "V"):
             self.mode = VISUALIZE_MODE
             self._say("[Viewer] VISUALIZE mode (BVH)")
+        elif key in ("e", "E"):
+            if self.reload_fn is None:
+                self._say("[Viewer] EDIT mode needs a reload_fn "
+                          "(run via python -m ...viewer)")
+            else:
+                self.mode = EDIT_MODE
+                self._say("[Viewer] EDIT mode: u=upsample d=downsample "
+                          "i=resample x=undo-all r=render")
         elif key in ("s", "S"):
             self.save_image()
         elif key in ("r", "R"):
@@ -176,7 +197,8 @@ class Viewer:
             from bidirectional_pathtracing_tpu.scene.camera_file import (
                 dump_camera_settings)
             path = f"{self.scene_name}_cam_settings.txt"
-            dump_camera_settings(self.scene.camera, path)
+            dump_camera_settings(self.scene.camera, path,
+                                 self.cfg.width, self.cfg.height)
             self._say(f"[Camera] Dumped settings to {path}")
         elif key == "C":
             self.render_cell = not self.render_cell
@@ -189,6 +211,35 @@ class Viewer:
             if changed:
                 self.restart()
         return True
+
+    def _key_edit_mode(self, key: str) -> bool:
+        """EDIT mode: interactive mesh ops (the reference's u/d/i keys,
+        application.cpp:504-512, which call unimplemented stubs there)."""
+        ops = {"u": "upsample", "d": "downsample", "i": "resample"}
+        if key in ("r", "R"):
+            self.mode = RENDER_MODE
+            self.restart()
+            self._say("[Viewer] RENDER mode")
+        elif key in ("x", "X"):
+            self.mesh_ops = ()
+            self._reload("[MeshEdit] reverted all edits")
+        elif key.lower() in ops:
+            self.mesh_ops = self.mesh_ops + (ops[key.lower()],)
+            self._reload(f"[MeshEdit] applied {ops[key.lower()]} "
+                         f"(ops: {', '.join(self.mesh_ops) or 'none'})")
+        return True
+
+    def _reload(self, msg: str):
+        try:
+            new_scene = self.reload_fn(self.mesh_ops)
+        except Exception as e:
+            self._say(f"[MeshEdit] edit failed: {e}")
+            return
+        with self._lock:
+            self.scene = new_scene
+            self._vis = None
+        self.restart()
+        self._say(msg)
 
     def _key_visualize_mode(self, key: str) -> bool:
         vis = self._visualizer()
@@ -439,7 +490,17 @@ def main(argv=None):
         scene = scene._replace(
             envmap=envlight.build_envmap(read_exr(args.envmap)))
     name = args.scene.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-    viewer = Viewer(scene, cfg, output=args.output, scene_name=name)
+
+    def reload_fn(mesh_ops):
+        s2, _ = load_scene(args.scene, w, h, lens_radius=cfg.lens_radius,
+                           focal_distance=cfg.focal_distance,
+                           mesh_ops=tuple(mesh_ops))
+        if scene.envmap is not None:
+            s2 = s2._replace(envmap=scene.envmap)
+        return s2
+
+    viewer = Viewer(scene, cfg, output=args.output, scene_name=name,
+                    reload_fn=reload_fn)
     if args.http:
         viewer.run_http(args.http, max_passes=args.max_passes)
     else:

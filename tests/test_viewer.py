@@ -133,3 +133,41 @@ def test_http_endpoints():
         assert exc.value.code == 404
     finally:
         server.shutdown()
+
+
+def test_edit_mode_applies_mesh_ops_and_dump_key():
+    from bidirectional_pathtracing_tpu.viewer import EDIT_MODE
+    calls = []
+
+    def reload_fn(ops):
+        calls.append(tuple(ops))
+        return make_cornell_box()
+
+    cfg = RenderConfig(spp=2, max_ray_depth=2, width=16, height=12,
+                       integrator="bdpt")
+    v = Viewer(make_cornell_box(), cfg, output="/tmp/viewer_test.png",
+               scene_name="/tmp/viewer_edit_test", reload_fn=reload_fn)
+    v.key_press("e")
+    assert v.mode == EDIT_MODE
+    v.key_press("u")
+    v.key_press("i")
+    assert calls == [("upsample",), ("upsample", "resample")]
+    v.key_press("x")
+    assert calls[-1] == ()
+    v.key_press("r")
+    assert v.mode == RENDER_MODE
+    # 'd' camera dump writes the real reference format (regression: the
+    # viewer once called dump_camera_settings with the wrong arity)
+    v.key_press("d")
+    from bidirectional_pathtracing_tpu.scene.camera_file import (
+        load_camera_settings)
+    cam = load_camera_settings("/tmp/viewer_edit_test_cam_settings.txt")
+    np.testing.assert_allclose(np.asarray(cam.pos),
+                               np.asarray(v.scene.camera.pos), rtol=1e-5)
+
+
+def test_edit_mode_requires_reload_fn():
+    v = make_viewer()
+    v.key_press("e")
+    assert v.mode == RENDER_MODE  # refused, with a message
+    assert any("reload_fn" in m for m in v.messages)
