@@ -22,7 +22,9 @@ def test_box_inverse_recovers_albedo():
     from examples.inverse_rendering import main
     old = sys.argv
     try:
-        sys.argv = ["x", "--steps", "40", "--size", "40", "30"]
+        # the example's documented defaults (60 steps @ 48x36); fewer
+        # steps leave the BDPT-noise floor dominating the albedo error
+        sys.argv = ["x"]
         main()
     finally:
         sys.argv = old
