@@ -415,17 +415,31 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     combos = [(i_e, i_l) for i_e in range(1, nv + 1)
               for i_l in range(0, (nv + 1) if light is not None else 1)]
     seg_combos = [c for c in combos if c[1] >= 1]
+
+    def _pair_valid(i_e, i_l):
+        pv = eye.valid[:, i_e]
+        if i_l == 1:
+            a = eye.pos[:, 1] if i_e == 1 else eye.pos[:, i_e]
+            return pv & _fresh_light_point(scene, i_e, a, keys,
+                                           nl_lights)["valid"]
+        return pv & light.valid[:, i_l]
+
     blocked_by_combo = {}
     if seg_combos:
-        a_all, b_all = [], []
+        a_all, b_all, pv_all = [], [], []
         for (i_e, i_l) in seg_combos:
             a, b = _connection_endpoints(scene, i_e, i_l, eye, light, keys)
             a_all.append(a)
             b_all.append(b)
+            pv_all.append(_pair_valid(i_e, i_l))
         from bidirectional_pathtracing_tpu.ops.intersect import (
             scene_occluded_segment as _socc)
+        # invalid pairs get an empty t-window: their contributions are
+        # masked to zero anyway, and the any-hit TPU kernel then skips
+        # their cluster streams entirely (dead-lane pruning)
         blk, _, _ = _socc(scene, jnp.concatenate(a_all),
-                          jnp.concatenate(b_all))
+                          jnp.concatenate(b_all),
+                          active=jnp.concatenate(pv_all))
         blk = blk.reshape(len(seg_combos), s)
         blocked_by_combo = {c: blk[i] for i, c in enumerate(seg_combos)}
 
@@ -452,14 +466,7 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     if light is not None:
         rays += jnp.sum(light.valid[:, 1:nv].astype(jnp.float32))
     for (i_e, i_l) in seg_combos:
-        pv = eye.valid[:, i_e]
-        if i_l == 1:
-            a = eye.pos[:, 1] if i_e == 1 else eye.pos[:, i_e]
-            pv = pv & _fresh_light_point(scene, i_e, a, keys,
-                                         nl_lights)["valid"]
-        else:
-            pv = pv & light.valid[:, i_l]
-        rays += jnp.sum(pv.astype(jnp.float32))
+        rays += jnp.sum(_pair_valid(i_e, i_l).astype(jnp.float32))
     return eye_L, light_img, {"rays": rays}
 
 

@@ -423,11 +423,18 @@ def scene_occluded(scene, o, d, min_t, max_t):
     return occluded(scene.geometry, o, d, min_t, max_t)
 
 
-def scene_occluded_segment(scene, a, b, rel_eps: float = 2e-4):
-    """occluded_segment with BVH dispatch."""
+def scene_occluded_segment(scene, a, b, rel_eps: float = 2e-4, active=None):
+    """occluded_segment with accelerator dispatch.
+
+    active: optional [R] mask; inactive segments get an empty t-window
+    (reported unblocked — callers mask their contributions anyway) so the
+    any-hit TPU kernel skips their cluster streams.
+    """
     d = b - a
     dist = jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-20))
     conn = d / dist[..., None]
     max_t = dist * (1.0 - rel_eps) - EPS_F
+    if active is not None:
+        max_t = jnp.where(active, max_t, -1.0)
     blocked = scene_occluded(scene, a, conn, EPS_F, max_t)
     return blocked, conn, dist
