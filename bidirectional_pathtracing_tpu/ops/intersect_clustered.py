@@ -47,7 +47,7 @@ TILE_R = 512
 
 def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
                       t_ref, idx_ref,
-                      bt_ref, bi_ref, tri_scr, sem,
+                      bt_ref, bi_ref, tri_scr, sems,
                       *, n_blocks, block_size, n_clusters, tc,
                       any_hit=False):
     o = [rays_ref[i, :] for i in range(3)]          # [TILE_R]
@@ -68,12 +68,10 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
     pow2 = jnp.left_shift(
         jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0))
 
-    def mt_cluster(c):
-        """Möller–Trumbore the streamed cluster against the tile."""
-        cp = pltpu.make_async_copy(tris_hbm.at[c], tri_scr, sem)
-        cp.start()
-        cp.wait()
-        v = [tri_scr[k, :] for k in range(9)]       # [tc]
+    def mt_cluster(c, slot):
+        """Möller–Trumbore the streamed cluster (already DMA'd into
+        tri_scr[slot]; the wait happened in the caller)."""
+        v = [tri_scr[slot, k, :] for k in range(9)]  # [tc]
         e1 = [v[3 + k] - v[k] for k in range(3)]
         e2 = [v[6 + k] - v[k] for k in range(3)]
         s = [o[k][None, :] - v[k][:, None] for k in range(3)]
@@ -146,22 +144,42 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
                 jnp.int32, (block_size, 1), 0) + base
             flags = flags & (slot_ids < n_clusters)
 
-            # level 3: stream surviving clusters (bits in scalar registers)
+            # level 3: stream surviving clusters (bits in scalar registers).
+            # Per word, ALL surviving DMAs are issued before the first wait
+            # (32 scratch slots, per-slot semaphores), so HBM latency hides
+            # behind the Möller–Trumbore of earlier slots.
             for w in range(block_size // 32):
                 fw = flags[w * 32:(w + 1) * 32]
                 mask = jnp.sum(jnp.where(fw, pow2, jnp.int32(0)))
 
                 @pl.when(mask != jnp.int32(0))
                 def _scan_word(mask=mask, w=w):
-                    def bit_body(cl, __):
+                    def dma(cl):
+                        return pltpu.make_async_copy(
+                            tris_hbm.at[base + w * 32 + cl],
+                            tri_scr.at[cl], sems.at[cl])
+
+                    def start_body(cl, __):
                         bit = jax.lax.shift_right_logical(mask, cl) & 1
 
                         @pl.when(bit != 0)
-                        def _stream():
-                            mt_cluster(base + w * 32 + cl)
+                        def _start():
+                            dma(cl).start()
 
                         return __
-                    jax.lax.fori_loop(0, 32, bit_body, 0)
+
+                    def mt_body(cl, __):
+                        bit = jax.lax.shift_right_logical(mask, cl) & 1
+
+                        @pl.when(bit != 0)
+                        def _mt():
+                            dma(cl).wait()
+                            mt_cluster(base + w * 32 + cl, cl)
+
+                        return __
+
+                    jax.lax.fori_loop(0, 32, start_body, 0)
+                    jax.lax.fori_loop(0, 32, mt_body, 0)
 
         return _
 
@@ -222,8 +240,8 @@ def tri_closest_hit_clustered(clusters: ClusteredTris, o, d, min_t, max_t,
         scratch_shapes=[
             pltpu.VMEM((1, TILE_R), jnp.float32),   # best_t
             pltpu.VMEM((1, TILE_R), jnp.float32),   # best_i
-            pltpu.VMEM((16, tc), jnp.float32),      # streamed cluster
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((32, 16, tc), jnp.float32),  # streamed cluster slots
+            pltpu.SemaphoreType.DMA((32,)),
         ],
         interpret=interpret,
     )(rays, clusters.block_b, clusters.cluster_b, clusters.tris)

@@ -37,10 +37,9 @@ def main():
         "/root/reference/dae/sky/CBbunny.dae", w, h,
         mesh_ops=("upsample",) * upsample)
     print(f"loaded: {aux['num_tris']} tris in {time.perf_counter()-t0:.1f}s")
-    t0 = time.perf_counter()
-    clusters = build_clusters(scene.geometry)
-    print(f"clusters: C={clusters.n_clusters} blocks={clusters.n_blocks} "
-          f"built in {time.perf_counter()-t0:.1f}s")
+    clusters = scene.clusters   # built host-side by load_scene
+    assert clusters is not None, "scene below accel threshold"
+    print(f"clusters: C={clusters.n_clusters} blocks={clusters.n_blocks}")
 
     # primary rays (coherent)
     pix = jnp.arange(w * h)
