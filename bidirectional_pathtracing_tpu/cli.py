@@ -187,7 +187,24 @@ def main(argv=None):
         print(f"[bdpt-tpu] autofocus: focal distance = {fd:.4f}",
               file=sys.stderr)
 
-    res = render(scene, cfg)
+    # Ctrl-C = cooperative stop: finish the in-flight pass, save what we
+    # have (the reference's stop + save flow); a second Ctrl-C hard-exits.
+    import signal
+    import threading
+    cancel = threading.Event()
+
+    def _on_sigint(sig, frame):
+        if cancel.is_set():
+            raise KeyboardInterrupt
+        cancel.set()
+        print("[bdpt-tpu] stopping after this pass (Ctrl-C again to abort)",
+              file=sys.stderr)
+
+    prev_handler = signal.signal(signal.SIGINT, _on_sigint)
+    try:
+        res = render(scene, cfg, cancel=cancel)
+    finally:
+        signal.signal(signal.SIGINT, prev_handler)
     st = res.stats
     print(f"[bdpt-tpu] rendered {st['camera_samples']} samples in "
           f"{st['wall_time_s']:.2f}s "

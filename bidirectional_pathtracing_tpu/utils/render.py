@@ -112,13 +112,20 @@ def _bdpt_step_chunk(scene: Scene, key, base, cfg: RenderConfig,
 
 def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
            checkpoint_path: Optional[str] = None,
-           checkpoint_every: int = 0) -> RenderResult:
+           checkpoint_every: int = 0,
+           cancel: Optional[object] = None) -> RenderResult:
     """Render a full frame.  Returns HDR buffers with rows bottom-up
     (pixel (0,0) = bottom-left, matching the reference sample buffer).
 
     With checkpoint_path set, accumulation state is persisted every
     checkpoint_every passes and restored on restart (identical sample
     stream thanks to the counter-based RNG; utils/checkpoint.py).
+
+    cancel: optional object with a truthy `is_set()` (e.g.
+    threading.Event) — the cooperative-stop equivalent of the reference's
+    continueRaytracing flag (raytraced_renderer.cpp:226,611): checked
+    between passes; on cancel the accumulated samples so far are returned
+    (normalized by passes actually taken) and, when checkpointing, saved.
     """
     from bidirectional_pathtracing_tpu.ops import lights as light_ops
     from bidirectional_pathtracing_tpu.utils import checkpoint as ckpt
@@ -162,10 +169,24 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
                     light_sum=np.asarray(light),
                     counts=np.full((h * w,), i, np.int32),
                     next_pass=i, seed=the_seed, fingerprint=fp)
-        eye = np.asarray(jax.block_until_ready(eye)).reshape(h, w, 3)
-        light = np.asarray(light).reshape(h, w, 3)
+            if cancel is not None and cancel.is_set() and i < cfg.spp:
+                # cooperative stop (continueRaytracing): keep the i passes
+                # taken so far, renormalized below; resumable when
+                # checkpointing is on
+                if checkpoint_path:
+                    ckpt.save_checkpoint(
+                        checkpoint_path, eye_sum=np.asarray(eye),
+                        light_sum=np.asarray(light),
+                        counts=np.full((h * w,), i, np.int32),
+                        next_pass=i, seed=the_seed, fingerprint=fp)
+                break
+        passes = i
+        # buffers accumulate /cfg.spp per pass; renormalize for early stop
+        scale = cfg.spp / max(passes, 1)
+        eye = np.asarray(jax.block_until_ready(eye)).reshape(h, w, 3) * scale
+        light = np.asarray(light).reshape(h, w, 3) * scale
         combined = eye + light
-        counts = np.full((h, w), cfg.spp, np.int32)
+        counts = np.full((h, w), passes, np.int32)
     else:
         eye = light = None
         rays_total = jnp.float32(0)
@@ -189,6 +210,8 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
                 s2 = s2 + jnp.where(active, lum * lum, 0.0)
                 counts_dev = counts_dev + active.astype(jnp.int32)
             done += n
+            if cancel is not None and cancel.is_set():
+                break
             if cfg.adaptive_sampling and done < cfg.spp:
                 nn = counts_dev.astype(jnp.float32)
                 mu = s1 / jnp.maximum(nn, 1)

@@ -56,3 +56,39 @@ def test_cell_mode_renders_only_rect():
         img = res.eye if integ == "bdpt" else res.combined
         assert img[mask].mean() > 0.01
         assert img[~mask].max() == 0.0
+
+
+def test_cooperative_cancel_keeps_partial_accumulation():
+    """render(cancel=...) stops between passes and renormalizes the
+    accumulated samples (the reference's continueRaytracing stop,
+    raytraced_renderer.cpp:226,611)."""
+    import jax
+    import numpy as np
+    from bidirectional_pathtracing_tpu.config import RenderConfig
+    from bidirectional_pathtracing_tpu.scene.procedural import (
+        make_cornell_box)
+    from bidirectional_pathtracing_tpu.utils.render import render
+
+    class CancelAfter:
+        def __init__(self, n):
+            self.n = n
+            self.calls = 0
+
+        def is_set(self):
+            self.calls += 1
+            return self.calls >= self.n
+
+    scene = make_cornell_box()
+    cfg = RenderConfig(spp=6, max_ray_depth=2, width=16, height=12,
+                       integrator="bdpt")
+    full = render(scene, cfg)
+    partial = render(scene, cfg, cancel=CancelAfter(2))
+    assert partial.sample_counts.max() == 2
+    assert full.sample_counts.max() == 6
+    # renormalized partial mean should be near the full mean (same stream,
+    # fewer samples)
+    assert abs(partial.combined.mean() - full.combined.mean()) \
+        < 0.5 * full.combined.mean() + 1e-6
+    # the first 2 passes of the full render ARE the partial render's
+    # stream: medians agree closely
+    assert np.isfinite(partial.combined).all()
