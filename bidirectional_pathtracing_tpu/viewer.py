@@ -170,11 +170,63 @@ class Viewer:
         if key == "q":
             self._quit = True
             return False
+        if key.split() and key.split()[0] in ("tree", "mat", "light"):
+            self._debugger_command(key.split())
+            return True
         if self.mode == RENDER_MODE:
             return self._key_render_mode(key)
         if self.mode == EDIT_MODE:
             return self._key_edit_mode(key)
         return self._key_visualize_mode(key)
+
+    # ---- scene debugger (the reference's ImGui VisualDebugger tree of
+    # lights/objects with per-BSDF parameter editors, visual_debugger.cpp,
+    # DragDouble* used from bsdf.cpp:87-94 — headless command form) ----
+    _MAT_FIELDS = {"albedo": 3, "emission": 3, "reflectance": 3,
+                   "transmittance": 3, "ior": 1, "roughness": 1}
+    _MAT_KINDS = ["diffuse", "emission", "mirror", "refraction", "glass",
+                  "microfacet"]
+
+    def _debugger_command(self, parts):
+        import numpy as np
+        m = self.scene.materials
+        li = self.scene.lights
+        if parts[0] == "tree":
+            self._say(f"[Debugger] scene '{self.scene_name}'")
+            for i in range(m.kind.shape[0]):
+                kind = self._MAT_KINDS[int(m.kind[i])]
+                alb = np.asarray(m.albedo[i]).round(3).tolist()
+                emi = np.asarray(m.emission[i]).round(3).tolist()
+                self._say(f"  mat {i}: {kind} albedo={alb} emission={emi} "
+                          f"ior={float(m.ior[i]):.3g} "
+                          f"roughness={float(m.roughness[i]):.3g}")
+            for i in range(li.kind.shape[0]):
+                rad = np.asarray(li.radiance[i]).round(3).tolist()
+                self._say(f"  light {i}: kind={int(li.kind[i])} "
+                          f"radiance={rad}")
+            self._say("[Debugger] edit: mat <id> <field> <values> | "
+                      "light <id> radiance <r g b>")
+            return
+        try:
+            idx = int(parts[1])
+            field = parts[2]
+            vals = [float(v) for v in parts[3:]]
+            if parts[0] == "mat":
+                width = self._MAT_FIELDS[field]
+                assert len(vals) == width, f"{field} takes {width} values"
+                arr = getattr(m, field)
+                new = arr.at[idx].set(vals if width > 1 else vals[0])
+                self.scene = self.scene._replace(
+                    materials=m._replace(**{field: new}))
+            else:
+                assert field == "radiance" and len(vals) == 3
+                self.scene = self.scene._replace(
+                    lights=li._replace(radiance=li.radiance.at[idx].set(vals)))
+            self.restart()
+            self._say(f"[Debugger] {parts[0]} {idx} {field} <- {vals}; "
+                      "render restarted")
+        except Exception as e:
+            self._say(f"[Debugger] bad command {' '.join(parts)!r}: {e}")
 
     def _key_render_mode(self, key: str) -> bool:
         if key in ("v", "V"):

@@ -171,3 +171,25 @@ def test_edit_mode_requires_reload_fn():
     v.key_press("e")
     assert v.mode == RENDER_MODE  # refused, with a message
     assert any("reload_fn" in m for m in v.messages)
+
+
+def test_debugger_commands_edit_materials_and_lights():
+    """Headless form of the reference's ImGui VisualDebugger parameter
+    editors (visual_debugger.cpp; DragDouble used in bsdf.cpp:87-94)."""
+    v = make_viewer()
+    v.key_press("tree")
+    assert any("mat 0:" in m for m in v.messages)
+    assert any("light 0:" in m for m in v.messages)
+    v.tick()
+    assert v.passes == 1
+    v.key_press("mat 0 albedo 0.9 0.1 0.1")
+    assert v.passes == 0  # render restarted
+    np.testing.assert_allclose(
+        np.asarray(v.scene.materials.albedo[0]), [0.9, 0.1, 0.1])
+    v.key_press("light 0 radiance 5 5 5")
+    np.testing.assert_allclose(
+        np.asarray(v.scene.lights.radiance[0]), [5, 5, 5])
+    v.key_press("mat 0 ior 1.33")
+    assert abs(float(v.scene.materials.ior[0]) - 1.33) < 1e-6
+    v.key_press("mat 99 albedo nonsense")
+    assert any("bad command" in m for m in v.messages)
