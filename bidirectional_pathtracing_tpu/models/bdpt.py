@@ -410,6 +410,50 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     eye_L = jnp.zeros((s, 3))
     light_img = jnp.zeros((height * width, 3))
 
+    # --- environment light (EXTENSION: the reference BDPT asserts on env
+    # lights, environment_light.cpp:182-208; we support them with the same
+    # estimator family the reference's own PT uses: env radiance on the
+    # PRIMARY miss (pathtracer.cpp:271-272) plus env NEE at every
+    # non-delta eye vertex.  The two strategies generate disjoint path
+    # sets, so no cross-MIS is needed and BDPT env renders agree with the
+    # PT integrator's, tests/test_env_bdpt.py) ---------------------------
+    env_rays = jnp.float32(0)
+    if scene.envmap is not None:
+        from bidirectional_pathtracing_tpu.ops import envlight
+        from bidirectional_pathtracing_tpu.ops.intersect import (
+            scene_occluded)
+        if nv >= 2:
+            d1 = eye.n[:, 1]             # camera ray dir (walk init normal)
+            miss1 = ~eye.valid[:, 2]
+            eye_L += jnp.where(miss1[:, None],
+                               envlight.sample_dir(scene.envmap, d1), 0.0)
+        o_all, d_all, c_all, a_all = [], [], [], []
+        for i in range(2, nv + 1):
+            vi_valid = eye.valid[:, i] & ~_is_delta(scene, eye.mat[:, i])
+            u4 = rng.uniform(rng.fold(keys, 5000 + i * 13), (4,))
+            rad, wi_w, _dist, pdf = envlight.sample_L(
+                scene.envmap, eye.pos[:, i], u4)
+            o2w = make_coord_space(eye.n[:, i])
+            wo_w, _ = _seg(eye.pos[:, i], eye.pos[:, i - 1])
+            f = bsdf_ops.eval_f(scene.materials, eye.mat[:, i],
+                                to_local(o2w, wo_w), to_local(o2w, wi_w))
+            cos = jnp.abs(jnp.sum(wi_w * eye.n[:, i], axis=-1))
+            contrib = (eye.alpha[:, i] * rad * f
+                       * (cos / jnp.maximum(pdf, 1e-12))[:, None])
+            o_all.append(eye.pos[:, i])
+            d_all.append(wi_w)
+            c_all.append(jnp.where(vi_valid[:, None], contrib, 0.0))
+            a_all.append(vi_valid)
+        if o_all:
+            act = jnp.concatenate(a_all)
+            blocked = scene_occluded(
+                scene, jnp.concatenate(o_all), jnp.concatenate(d_all),
+                EPS_F, jnp.where(act, INF_D, -1.0))
+            blocked = blocked.reshape(len(o_all), s)
+            for j, c in enumerate(c_all):
+                eye_L += jnp.where(blocked[j][:, None], 0.0, c)
+            env_rays = jnp.sum(act.astype(jnp.float32))
+
     # --- connections: i_eye in 1..nv, i_light in 0..nv --------------------
     # batch every combo's shadow segments into ONE occlusion launch
     combos = [(i_e, i_l) for i_e in range(1, nv + 1)
@@ -462,7 +506,7 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
         return eye_L, light_img
 
     # measured rays: walk launch i is live for lanes valid at vertex i
-    rays = jnp.sum(eye.valid[:, 1:nv].astype(jnp.float32))
+    rays = jnp.sum(eye.valid[:, 1:nv].astype(jnp.float32)) + env_rays
     if light is not None:
         rays += jnp.sum(light.valid[:, 1:nv].astype(jnp.float32))
     for (i_e, i_l) in seg_combos:
