@@ -42,7 +42,15 @@ from bidirectional_pathtracing_tpu.ops.intersect import (
 from bidirectional_pathtracing_tpu.scene.clusters import (
     ClusteredTris, BLOCK_SIZE)
 
-TILE_R = 512
+# Rays per kernel tile.  Trade-off measured on CBbunny (BENCH_NOTES.md):
+# coherent camera rays get faster with LARGER tiles (the beam touches a
+# near-constant cluster set, so fewer tiles = less total streaming) while
+# incoherent bounce rays get slower (a wide tile's rays collectively touch
+# most clusters; 1024 was pathological).  256 won the full-render sweep
+# (+15% BDPT samples/s over 512 on CBbunny); override for experiments.
+import os as _os
+
+TILE_R = int(_os.environ.get("BDPT_TPU_TILE_R", "256"))
 
 
 def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,

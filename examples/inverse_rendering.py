@@ -19,7 +19,11 @@ Run:  python examples/inverse_rendering.py [--mode envlight] [--steps 60]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -191,7 +195,12 @@ def main():
     # only diffuse materials consume albedo; measure recovery there
     diffuse_mask = np.asarray(scene.materials.kind) == 0
     key0 = jax.random.key(123)
-    target = jax.jit(render_once)(target_albedo, key0)
+    # common random numbers: per-key targets -> zero loss at the optimum
+    n_keys = 4
+    target_keys = jnp.stack(
+        [jax.random.fold_in(key0, i) for i in range(n_keys)])
+    targets = jnp.stack([jax.jit(render_once)(target_albedo, target_keys[i])
+                         for i in range(n_keys)])
 
     # start from a wrong guess
     guess = jnp.clip(target_albedo + 0.35 * jnp.sin(
@@ -203,7 +212,7 @@ def main():
     state = opt.init(guess)
 
     @jax.jit
-    def step(albedo, state, key):
+    def step(albedo, state, key, target):
         def loss_fn(a):
             img = render_once(a, key)
             return jnp.mean((img - target) ** 2)
@@ -219,8 +228,9 @@ def main():
     t0 = time.time()
     albedo = guess
     for i in range(args.steps):
-        albedo, state, loss = step(albedo, state,
-                                   jax.random.fold_in(key0, i + 1))
+        k = i % n_keys
+        albedo, state, loss = step(albedo, state, target_keys[k],
+                                   targets[k])
         if i % 10 == 0 or i == args.steps - 1:
             print(f"step {i:3d}  loss {float(loss):.5f}  "
                   f"max diffuse albedo err {albedo_err(albedo):.4f}")
