@@ -9,10 +9,13 @@ Mirrors reference src/scene/environment_light.cpp:
   - sample_L: 2-stage CDF inversion with the Jacobian pdf
     p(w) = p(x,y) * (w*h) / (2 pi^2 sin(theta))  (environment_light.cpp:138-169)
 
-Used by the unidirectional tracer for NEE and primary-miss shading.  Like
-the reference, the BDPT methods are unsupported (the reference asserts,
-environment_light.cpp:182-208; we return zero pdfs so BDPT simply gains no
-env subpaths).
+Used by the unidirectional tracer for NEE and primary-miss shading, and —
+EXTENSION beyond the reference, whose BDPT asserts on env lights
+(environment_light.cpp:182-208) — by the BDPT integrator, which renders
+env-lit scenes with the same strategy family (primary-miss radiance + env
+NEE per non-delta eye vertex; models/bdpt.py, tests/test_env_bdpt.py).
+Light subpaths never start on the envmap, so its sample_Le-side methods
+remain absent by design.
 """
 
 from __future__ import annotations

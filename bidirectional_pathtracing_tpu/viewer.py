@@ -26,6 +26,9 @@ subdivision, d quadric simplification, i isotropic remeshing, x undo all,
 r back to RENDER mode.  Each op rebuilds the scene (scene/meshedit.py)
 and restarts the render.  Requires the viewer to be constructed with a
 reload_fn (the __main__ entry wires one).
+Scene debugger (any mode; the reference's ImGui VisualDebugger): `tree`
+lists materials/lights with parameters; `mat <id> <field> <values>` and
+`light <id> radiance <r g b>` edit them and restart the render.
 """
 
 from __future__ import annotations

@@ -11,7 +11,17 @@ import pytest
 
 from tests.conftest import REFERENCE, reference_available
 
-pytestmark = pytest.mark.slow
+
+def test_bdpt_env_smoke_fast():
+    """Fast-tier coverage: the env-BDPT code path compiles, produces
+    finite nonzero radiance on an env-only scene, and stays zero-impact
+    when envmap is None."""
+    scene = _scene_with_env()
+    img = _render(scene, "bdpt", 2, w=20, h=15)
+    assert np.isfinite(img).all() and img.mean() > 0.01
+    dark = _render(scene._replace(envmap=None), "bdpt", 2, w=20, h=15)
+    assert dark.max() == 0.0   # no lights at all -> black
+
 
 
 def _scene_with_env():
@@ -34,6 +44,7 @@ def _blocks(img, nb=6):
     return img[:bh * nb, :bw * nb].reshape(nb, bh, nb, bw, 3).mean((1, 3))
 
 
+@pytest.mark.slow
 def test_bdpt_env_matches_pt():
     scene = _scene_with_env()
     bdpt_img = _render(scene, "bdpt", 48)
@@ -46,6 +57,7 @@ def test_bdpt_env_matches_pt():
     assert bdpt_img.mean() > 0.05
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not reference_available(), reason="no reference")
 def test_bdpt_env_with_area_light_still_matches_golden():
     """An env-free scene with the BDPT env code path compiled in must be
