@@ -133,3 +133,33 @@ def test_cluster_builder_covers_all_triangles():
         v = tris[ci][:9, k].reshape(3, 3, -1)  # [vtx, xyz, n]
         assert (v.min(axis=(0, 2)) >= cb[0:3, ci] - 1e-4).all()
         assert (v.max(axis=(0, 2)) <= cb[3:6, ci] + 1e-4).all()
+
+
+def test_clustered_dense_mask_word():
+    """Force a fully-dense survivor word (all 32 bits set, incl. bit 31 =
+    INT_MIN) so the kernel's dense scan path and the two's-complement
+    edge of the sparse bit walk are both pinned.  4096 tris in one tight
+    cube -> 32 fully-overlapping clusters = one block, one full word."""
+    geom = _random_mesh(4096, seed=21, extent=0.3)
+    clusters = build_clusters(geom)
+    # spatial clustering over a tight cube: every cluster AABB overlaps
+    # every ray's path, so survivor word 0 fills all 32 bits
+    assert clusters.n_clusters >= 32 and clusters.n_blocks == 1
+    # rays shot through the cube from outside: every cluster AABB passes
+    # the slab test for every ray -> mask = 0xFFFFFFFF
+    rng = np.random.default_rng(22)
+    o = rng.uniform(-3, -2, (256, 3)).astype(np.float32)
+    tgt = rng.uniform(-0.3, 0.3, (256, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = intersect(geom, o, d, 1e-4, INF_D)
+    got = intersect_clustered(geom, clusters, o, d, 1e-4, INF_D,
+                              interpret=True)
+    assert int(np.asarray(ref.valid).sum()) > 200   # the word really fills
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.prim),
+                                  np.asarray(ref.prim))
