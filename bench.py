@@ -23,11 +23,13 @@ REF_SAMPLES_PER_S = 480 * 360 * 32 / 308.0
 
 def bench_scene(name, scene_path, depth, spp, chunk):
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from bidirectional_pathtracing_tpu.config import RenderConfig
     from bidirectional_pathtracing_tpu.parallel.render import (
         make_render_mesh, render_step_sharded)
-    from bidirectional_pathtracing_tpu.utils.render import _bdpt_step_chunk
+    from bidirectional_pathtracing_tpu.utils.render import (
+        _bdpt_step_chunk, _trace_cfg)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     width, height = 480, 360
@@ -43,6 +45,10 @@ def bench_scene(name, scene_path, depth, spp, chunk):
 
     cfg = RenderConfig(spp=spp, max_ray_depth=depth, width=width,
                        height=height, integrator="bdpt")
+    # the EXACT dispatch the render() driver issues (same tcfg hash, same
+    # operand signature) so bench warms the compile cache for real renders
+    tcfg = _trace_cfg(cfg)
+    inv = jnp.float32(1.0 / spp)
     mesh = make_render_mesh(jax.devices())
     scene = jax.device_put(scene, NamedSharding(mesh, P()))
     key = jax.random.key(0)
@@ -50,8 +56,8 @@ def bench_scene(name, scene_path, depth, spp, chunk):
     # warmup/compile (np.asarray = hard sync: block_until_ready is not a
     # reliable barrier through the axon device tunnel)
     t0 = time.perf_counter()
-    eye, light, rays = _bdpt_step_chunk(scene, key, 0, cfg, width, height,
-                                        chunk)
+    eye, light, rays = _bdpt_step_chunk(scene, key, jnp.int32(0), tcfg,
+                                        width, height, chunk, inv)
     np.asarray(eye)
     compile_s = time.perf_counter() - t0
 
@@ -60,8 +66,8 @@ def bench_scene(name, scene_path, depth, spp, chunk):
     t0 = time.perf_counter()
     for i in range(n_chunks):
         eye, light, rays = _bdpt_step_chunk(
-            scene, jax.random.fold_in(key, i), i * chunk, cfg,
-            width, height, chunk)
+            scene, key, jnp.int32(i * chunk), tcfg,
+            width, height, chunk, inv)
         rays_total += float(rays)
     np.asarray(eye), np.asarray(light)
     dt = time.perf_counter() - t0
@@ -91,9 +97,9 @@ def main():
         pass
     only = sys.argv[1] if len(sys.argv) > 1 else None
     runs = [
-        ("CBspheres", "/root/reference/dae/sky/CBspheres.dae", 5, 32, 4),
-        ("CBbunny", "/root/reference/dae/sky/CBbunny.dae", 5, 8, 2),
-        ("CBgems", "/root/reference/dae/sky/CBgems.dae", 8, 8, 2),
+        ("CBspheres", "/root/reference/dae/sky/CBspheres.dae", 5, 32, 8),
+        ("CBbunny", "/root/reference/dae/sky/CBbunny.dae", 5, 8, 8),
+        ("CBgems", "/root/reference/dae/sky/CBgems.dae", 8, 8, 8),
     ]
     results = []
     printed = False

@@ -108,6 +108,12 @@ def main(argv=None):
         ap.error(f"--visualize-bvh: invalid walk {args.visualize_bvh!r} "
                  "(use only l/r/u)")
 
+    import jax
+    try:   # persistent compile cache (README Quick start): repeat renders
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:   # pragma: no cover - already-configured/readonly fs
+        pass
+
     from bidirectional_pathtracing_tpu.config import RenderConfig
     from bidirectional_pathtracing_tpu.scene.build import load_scene
     from bidirectional_pathtracing_tpu.utils import image as img

@@ -358,11 +358,15 @@ def _eye_on_light_pdfs(scene: Scene, pos, prev_pos):
 
 
 def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
-                cfg: RenderConfig, return_stats: bool = False):
+                cfg: RenderConfig, return_stats: bool = False,
+                inv_ns_aa=None):
     """One camera-sample-per-pixel BDPT pass.
 
     Returns (eye_L [S,3], light_img [H*W,3]).  light_img carries the
     1/ns_aa factor like the reference's splats (bidirection.cpp:460-461).
+    inv_ns_aa: optional TRACED 1/spp scalar for the splat normalisation —
+    passing it as an operand (rather than baking cfg.spp into the trace)
+    lets one compiled step serve every spp (utils/render.py _trace_cfg).
 
     With return_stats, also returns a dict with "rays": the MEASURED count
     of intersection queries an equivalent per-ray tracer would issue (the
@@ -374,6 +378,8 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     s = pixel_ids.shape[0]
     nv = cfg.max_ray_depth + 1           # real vertices per subpath
     nl_lights = light_ops.num_lights(scene.lights)
+    if inv_ns_aa is None:
+        inv_ns_aa = jnp.float32(1.0 / cfg.spp)
 
     # per-lane counter-based keys from GLOBAL pixel ids: bitwise identical
     # under any sharding of the pixel axis
@@ -499,7 +505,7 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
                     flat = (splat_xy[:, 1] * width + splat_xy[:, 0])
                     flat = jnp.clip(flat, 0, height * width - 1)
                     light_img = light_img.at[flat].add(
-                        jnp.where(splat_mask[:, None], ill / cfg.spp, 0.0))
+                        jnp.where(splat_mask[:, None], ill * inv_ns_aa, 0.0))
             else:
                 eye_L = eye_L + ill
     if not return_stats:

@@ -148,7 +148,8 @@ def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig,
 
     def bounce(carry, b):
         L, throughput, alive, hit_p, ray_d, hit_n, mid, rays = carry
-        kb = jax.vmap(jax.random.fold_in)(keys, jnp.full(keys.shape, 100 + b))
+        kb = rng.fold(keys, 100 + b)   # b is a traced scan index; rng.fold
+                                       # accepts traced site constants
 
         delta = bsdf_ops.is_delta(scene.materials, mid)
         if cfg.direct_hemisphere_sample:

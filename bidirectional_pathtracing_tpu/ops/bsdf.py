@@ -247,7 +247,23 @@ def sample_pdf(materials: Materials, mid, wo, wi):
     DIFFUSE/EMISSION: cosine pdf of wi.  MIRROR/REFRACTION: 1.
     GLASS: Schlick R for wi.z>0 else 1-R (advanced_bsdf.cpp:239-259;
     matching the reference's eta convention when invoked from MIS with an
-    empty wo: eta = ior).  MICROFACET: proper NDF pdf (reference asserts).
+    empty wo: eta = ior).
+
+    MICROFACET: the cosine-hemisphere pdf as a wo-INDEPENDENT MIS proxy.
+    The reference's MIS walk prices every path edge with sample_pdf(wo=0)
+    (bidirection.cpp:150 "filled with empty for now") — fine for its
+    wo-independent pdfs, but the true NDF pdf needs the half vector, and
+    with wo=0 it degenerates to 0, collapsing every weight to 1 and
+    breaking the partition of unity (sum over strategies = #strategies).
+    MIS weights stay unbiased for ANY consistent per-edge pdf function
+    (Veach 9.2.2 — the combined estimator partitions unity as long as all
+    strategies price an edge identically), so a proxy that ignores wo is
+    exact-partition by construction; it only costs some variance-optimality
+    on sharp lobes.  The true NDF pdf still drives importance sampling in
+    sample() (where wo IS known).  Pinned by
+    tests/test_mis.py::test_mis_weights_sum_to_one_microfacet and the
+    BDPT==PT convergence test on CBspheres_microfacet
+    (the reference simply asserts, advanced_bsdf.cpp:144-148).
     """
     m = gather(materials, mid)
     kind = m.kind
@@ -264,5 +280,5 @@ def sample_pdf(materials: Materials, mid, wo, wi):
     pdf = jnp.where(kind == MAT_GLASS, glass_pdf, pdf)
 
     pdf = jnp.where(kind == MAT_MICROFACET,
-                    _microfacet_pdf(m.roughness, wo, wi), pdf)
+                    samplers.cosine_hemisphere_pdf(jnp.abs(wi)), pdf)
     return jnp.where(mid >= 0, pdf, 0.0)

@@ -101,6 +101,43 @@ def sample_dir(env: Envmap, d):
     return _bilerp(env, x, y)
 
 
+def sample_Le(env: Envmap, center, radius, u4, u2):
+    """Emit a light ray FROM the environment (pbrt-style infinite-light
+    emission; EXTENSION — the reference asserts on every BDPT method of
+    its EnvironmentLight, environment_light.cpp:182-208).
+
+    direction: 2-stage CDF importance sample w (pointing TOWARD the env,
+    like sample_L); the ray travels d = -w into the scene.
+    origin: uniform point on the disk of the scene bounding sphere
+    (`center`, `radius`), perpendicular to w, pushed out by 2*radius so
+    the ray sweeps the whole scene.
+    Returns (radiance, o, d, point_pdf, dir_pdf):
+      point_pdf = 1/(pi r^2)   [area measure on the disk]
+      dir_pdf   = CDF pdf      [solid angle]
+
+    NOTE this is a library capability + oracle-tested building block
+    (tests/test_envlight.py::test_env_sample_Le_*); the BDPT integrator
+    currently uses EYE-SIDE env strategies only (primary-miss radiance +
+    env NEE, models/bdpt.py) — wiring emission subpaths in without double
+    counting requires env-aware MIS across the two families, which is
+    deliberately out of scope (the strategy families would otherwise
+    overlap on every camera->surface...->env path).
+    """
+    rad, w_dir, _dist, dir_pdf = sample_L(env, center, u4)
+    # orthonormal frame around w
+    from bidirectional_pathtracing_tpu.core.math import make_coord_space
+    frame = make_coord_space(w_dir)
+    r_sq = jnp.sqrt(u2[..., 0])
+    phi = 2.0 * PI * u2[..., 1]
+    ox = radius * r_sq * jnp.cos(phi)
+    oy = radius * r_sq * jnp.sin(phi)
+    o = (center + w_dir * (2.0 * radius)
+         + frame[..., :, 0] * ox[..., None] + frame[..., :, 1] * oy[..., None])
+    d = -w_dir
+    point_pdf = jnp.full(dir_pdf.shape, 1.0 / (PI * radius * radius))
+    return rad, o, d, point_pdf, dir_pdf
+
+
 def sample_L(env: Envmap, p, u4):
     """NEE sample toward the env light: returns (radiance, wi, dist, pdf).
 

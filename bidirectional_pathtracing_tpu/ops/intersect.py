@@ -23,6 +23,7 @@ gradients w.r.t. materials/emission flow through the shading algebra only.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -374,6 +375,53 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+# Sort rays by (direction octant, origin Morton) before the clustered
+# kernel: incoherent bounce wavefronts collectively touch most clusters per
+# 256-ray tile (the measured 4x coherent/incoherent gap, BENCH_NOTES.md);
+# sorting groups rays that cut the same clusters into the same tiles so
+# per-tile culling works again.  Results are bitwise identical — a ray's
+# candidate set always contains its true closest hit regardless of tile
+# grouping, and the min-over-global-index tie rule is tile-independent —
+# so this is purely a performance transform (test_sorted_dispatch_matches).
+_SORT_RAYS = os.environ.get("BDPT_TPU_SORT", "1") != "0"
+_SORT_MIN_RAYS = 4096       # sorting overhead is not worth it on tiny sets
+
+
+def _ray_sort_perm(clusters, o, d):
+    """[R] permutation ordering rays by (octant, 21-bit origin Morton)."""
+    cb = clusters.cluster_b
+    lo = jnp.min(jnp.where(jnp.isfinite(cb[0:3]), cb[0:3], INF_D), axis=1)
+    hi = jnp.max(jnp.where(jnp.isfinite(cb[3:6]), cb[3:6], -INF_D), axis=1)
+    ext = jnp.maximum(hi - lo, 1e-9)
+    q = jnp.clip((o - lo) / ext * 127.0, 0.0, 127.0).astype(jnp.int32)
+    m = jnp.zeros(o.shape[:1], jnp.int32)
+    for b in range(7):
+        for a in range(3):
+            m = m | (((q[:, a] >> b) & 1) << (3 * b + a))
+    octant = ((d[:, 0] > 0).astype(jnp.int32)
+              | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] > 0).astype(jnp.int32) << 2))
+    return jnp.argsort((octant << 21) | m)
+
+
+def _sorted_clustered_intersect(scene, o, d, min_t, max_t) -> Hit:
+    from bidirectional_pathtracing_tpu.ops.intersect_clustered import (
+        intersect_clustered)
+    r = o.shape[0]
+    if not _SORT_RAYS or r < _SORT_MIN_RAYS:
+        return intersect_clustered(scene.geometry, scene.clusters,
+                                   o, d, min_t, max_t)
+    min_b = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r,))
+    max_b = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r,))
+    perm = _ray_sort_perm(scene.clusters, o, d)
+    hit = intersect_clustered(scene.geometry, scene.clusters,
+                              o[perm], d[perm], min_b[perm], max_b[perm])
+    inv = jnp.zeros((r,), jnp.int32).at[perm].set(
+        jnp.arange(r, dtype=jnp.int32))
+    return Hit(t=hit.t[inv], valid=hit.valid[inv], n=hit.n[inv],
+               mat=hit.mat[inv], prim=hit.prim[inv])
+
+
 def scene_intersect(scene, o, d, min_t, max_t) -> Hit:
     """Closest-hit dispatch.
 
@@ -387,10 +435,7 @@ def scene_intersect(scene, o, d, min_t, max_t) -> Hit:
         use_clusters = scene.clusters is not None and (
             n_t > _PALLAS_BRUTE_PREF or n_t > _PALLAS_MAX_TRIS)
         if use_clusters:
-            from bidirectional_pathtracing_tpu.ops.intersect_clustered \
-                import intersect_clustered
-            return intersect_clustered(scene.geometry, scene.clusters,
-                                       o, d, min_t, max_t)
+            return _sorted_clustered_intersect(scene, o, d, min_t, max_t)
         if n_t <= _PALLAS_MAX_TRIS:
             from bidirectional_pathtracing_tpu.ops.intersect_pallas import (
                 intersect_pallas, make_tri_soa)

@@ -217,13 +217,13 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
                     @pl.when(pc > jnp.int32(12))
                     def _dense():
                         def start_body(cl, __):
-                            @pl.when(srl(mask, cl) & 1 != 0)
+                            @pl.when((srl(mask, cl) & 1) != 0)
                             def _start():
                                 dma(cl).start()
                             return __
 
                         def mt_body(cl, __):
-                            @pl.when(srl(mask, cl) & 1 != 0)
+                            @pl.when((srl(mask, cl) & 1) != 0)
                             def _mt():
                                 dma(cl).wait()
                                 mt_cluster(base + w * 32 + cl, cl)

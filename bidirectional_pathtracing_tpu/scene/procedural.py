@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from bidirectional_pathtracing_tpu.scene.types import (
     Camera, Scene, LIGHT_AREA, MAT_DIFFUSE, MAT_EMISSION, MAT_GLASS,
-    MAT_MIRROR, make_geometry, make_lights, make_materials,
+    MAT_MICROFACET, MAT_MIRROR, make_geometry, make_lights, make_materials,
 )
 
 
@@ -45,6 +45,9 @@ def make_cornell_box(width: int = 120, height: int = 90,
         {"kind": MAT_MIRROR, "reflectance": np.array([0.9, 0.9, 0.9])},  # 5
         {"kind": MAT_GLASS, "transmittance": np.array([0.9, 0.9, 0.9]),
          "reflectance": np.array([0.9, 0.9, 0.9]), "ior": 1.45},      # 6
+        {"kind": MAT_MICROFACET, "roughness": 0.3,                    # 7 Al
+         "eta": np.array([1.345, 0.965, 0.617]),
+         "k": np.array([7.47, 6.40, 5.30])},
     ]
 
     # floor (y=0, normal +y), ceiling (y=1.5, -y), back (z=-1, +z),
@@ -62,7 +65,8 @@ def make_cornell_box(width: int = 120, height: int = 90,
     add_quad([-0.4, 1.49, -0.3], [0.4, 1.49, -0.3], [0.4, 1.49, 0.3],
              [-0.4, 1.49, 0.3], [0, -1, 0], 3)
 
-    mat_name_to_id = {"diffuse": 4, "mirror": 5, "glass": 6}
+    mat_name_to_id = {"diffuse": 4, "mirror": 5, "glass": 6,
+                      "microfacet": 7}
     sph_c = [[-0.4, 0.3, -0.3], [0.4, 0.3, 0.3]]
     sph_r = [0.3, 0.3]
     sph_mat = [mat_name_to_id[m] for m in sphere_materials]

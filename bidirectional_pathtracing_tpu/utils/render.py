@@ -63,6 +63,31 @@ def _cell_pixel_ids(cfg: RenderConfig, width: int, height: int):
     return jnp.arange(width * height, dtype=jnp.int32)
 
 
+def _trace_cfg(cfg: RenderConfig) -> RenderConfig:
+    """Canonicalize the fields that do NOT enter the traced computation
+    (spp rides in as the traced inv_ns_aa operand; seed enters via the
+    key; the rest is host-side driver/IO policy), so one compiled step
+    serves every spp/seed/output combination — the dominant compile-cost
+    lever on the remote chip (BENCH_NOTES.md compile table)."""
+    return dataclasses.replace(
+        cfg, spp=1, seed=0, output="", save_rate_image=False,
+        save_eye_light_images=False, samples_per_chunk=0,
+        samples_per_batch=32, max_tolerance=0.05, adaptive_sampling=False)
+
+
+def _auto_chunk(cfg: RenderConfig, checkpoint_every: int = 0) -> int:
+    """Camera-sample passes per jitted dispatch.  Larger chunks amortize
+    host->device dispatch latency (the remote-tunnel round trip measured
+    ~3 s/dispatch in the round-2 flagship runs) without growing the device
+    wavefront — the chunk is a lax.scan, so memory is one pass's.  Bounded
+    by checkpoint granularity when checkpointing is on."""
+    c = cfg.samples_per_chunk if cfg.samples_per_chunk >= 1 \
+        else min(cfg.spp, 8)
+    if checkpoint_every > 0:
+        c = min(c, checkpoint_every)
+    return max(c, 1)
+
+
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
 def _pt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
     from bidirectional_pathtracing_tpu.core import rng
@@ -72,6 +97,39 @@ def _pt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
     o, d = pt.sample_camera_rays(scene, keys, width, height, pix, cfg)
     L, st = pt.trace_radiance(scene, o, d, keys, cfg, return_stats=True)
     return L, st["rays"]
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height", "chunk"))
+def _pt_step_chunk(scene: Scene, key, base, cfg: RenderConfig,
+                   width: int, height: int, chunk: int, active):
+    """`chunk` PT passes in one dispatch with on-device accumulation.
+
+    Keys are fold_in(key, base + i) — the same stream as dispatching the
+    passes one at a time.  `active` masks converged lanes (adaptive
+    sampling, pathtracer.cpp:301-333); returns the batch's luminance
+    moment sums for the CI rule.
+    """
+    from bidirectional_pathtracing_tpu.core import rng
+    from bidirectional_pathtracing_tpu.models import pathtracer as pt
+    pix = _cell_pixel_ids(cfg, width, height)
+
+    def body(carry, i):
+        acc, s1, s2, rays = carry
+        k = jax.random.fold_in(key, base + i)
+        keys = rng.lane_keys(k, pix)
+        o, d = pt.sample_camera_rays(scene, keys, width, height, pix, cfg)
+        L, st = pt.trace_radiance(scene, o, d, keys, cfg, return_stats=True)
+        lum = jnp.sum(L * jnp.array([0.2126, 0.7152, 0.0722]), -1)
+        return (acc + jnp.where(active[:, None], L, 0.0),
+                s1 + jnp.where(active, lum, 0.0),
+                s2 + jnp.where(active, lum * lum, 0.0),
+                rays + st["rays"]), None
+
+    npix = pix.shape[0]
+    init = (jnp.zeros((npix, 3)), jnp.zeros((npix,)), jnp.zeros((npix,)),
+            jnp.float32(0))
+    (acc, s1, s2, rays), _ = jax.lax.scan(body, init, jnp.arange(chunk))
+    return acc, s1, s2, rays
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height"))
@@ -85,7 +143,7 @@ def _bdpt_step(scene: Scene, key, cfg: RenderConfig, width: int, height: int):
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "chunk"))
 def _bdpt_step_chunk(scene: Scene, key, base, cfg: RenderConfig,
-                     width: int, height: int, chunk: int):
+                     width: int, height: int, chunk: int, inv_ns_aa=None):
     """`chunk` sample passes in one jitted step (cfg.samples_per_chunk).
 
     Scans over pass indices base..base+chunk-1 with the same
@@ -99,7 +157,8 @@ def _bdpt_step_chunk(scene: Scene, key, base, cfg: RenderConfig,
         eye_acc, light_acc, rays_acc = carry
         k = jax.random.fold_in(key, base + i)
         eye_i, light_i, st = bdpt.sample_pass(scene, k, width, height, pix,
-                                              cfg, return_stats=True)
+                                              cfg, return_stats=True,
+                                              inv_ns_aa=inv_ns_aa)
         return (eye_acc + eye_i, light_acc + light_i,
                 rays_acc + st["rays"]), None
 
@@ -124,8 +183,10 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
     cancel: optional object with a truthy `is_set()` (e.g.
     threading.Event) — the cooperative-stop equivalent of the reference's
     continueRaytracing flag (raytraced_renderer.cpp:226,611): checked
-    between passes; on cancel the accumulated samples so far are returned
-    (normalized by passes actually taken) and, when checkpointing, saved.
+    between dispatched chunks (cfg.samples_per_chunk passes; the
+    reference's granularity is a tile row); on cancel the accumulated
+    samples so far are returned (normalized by passes actually taken)
+    and, when checkpointing, saved.
     """
     from bidirectional_pathtracing_tpu.ops import lights as light_ops
     from bidirectional_pathtracing_tpu.utils import checkpoint as ckpt
@@ -136,8 +197,12 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
     t0 = time.perf_counter()
     fp = ckpt.config_fingerprint(cfg, w, h) if checkpoint_path else None
 
-    pix_np = np.asarray(_cell_pixel_ids(cfg, w, h))
+    pix_dev = _cell_pixel_ids(cfg, w, h)     # device-resident (uploading a
+    pix_np = np.asarray(pix_dev)             # fresh index array per chunk
+    full_frame = cfg.cell is None            # dominated round-2 wall time)
+    tcfg = _trace_cfg(cfg)
     if cfg.integrator == "bdpt":
+        inv = jnp.float32(1.0 / cfg.spp)
         eye = jnp.zeros((h * w, 3))
         light = jnp.zeros((h * w, 3))
         start = 0
@@ -148,18 +213,17 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
                 light = jnp.asarray(st["light_sum"])
                 start = st["next_pass"]
         rays_total = jnp.float32(0)
-        chunk = max(cfg.samples_per_chunk, 1)
+        chunk = _auto_chunk(cfg, checkpoint_every)
         i = start
         while i < cfg.spp:
             n = min(chunk, cfg.spp - i)
-            if n == 1:
-                k = jax.random.fold_in(key, i)
-                eye_i, light_i, rays_i = _bdpt_step(scene, k, cfg, w, h)
-            else:
-                eye_i, light_i, rays_i = _bdpt_step_chunk(
-                    scene, key, jnp.int32(i), cfg, w, h, n)
+            eye_i, light_i, rays_i = _bdpt_step_chunk(
+                scene, key, jnp.int32(i), tcfg, w, h, n, inv)
             rays_total = rays_total + rays_i
-            eye = eye.at[pix_np].add(eye_i / cfg.spp)
+            if full_frame:
+                eye = eye + eye_i * inv
+            else:
+                eye = eye.at[pix_dev].add(eye_i * inv)
             light = light + light_i  # splats already carry 1/ns_aa
             i += n
             if (checkpoint_path and checkpoint_every
@@ -197,18 +261,17 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
         counts_dev = jnp.zeros((npix,), jnp.int32)
         active = jnp.ones((npix,), bool)
         batch = cfg.samples_per_batch if cfg.adaptive_sampling else cfg.spp
+        chunk = _auto_chunk(cfg, checkpoint_every)
         done = 0
         while done < cfg.spp:
             n = min(batch, cfg.spp - done)
-            for i in range(n):
-                k = jax.random.fold_in(key, done + i)
-                L, rays_i = _pt_step(scene, k, cfg, w, h)
+            for j in range(0, n, chunk):
+                c = min(chunk, n - j)
+                acc_i, s1_i, s2_i, rays_i = _pt_step_chunk(
+                    scene, key, jnp.int32(done + j), tcfg, w, h, c, active)
                 rays_total = rays_total + rays_i
-                acc = acc + jnp.where(active[:, None], L, 0.0)
-                lum = jnp.sum(L * jnp.array([0.2126, 0.7152, 0.0722]), -1)
-                s1 = s1 + jnp.where(active, lum, 0.0)
-                s2 = s2 + jnp.where(active, lum * lum, 0.0)
-                counts_dev = counts_dev + active.astype(jnp.int32)
+                acc, s1, s2 = acc + acc_i, s1 + s1_i, s2 + s2_i
+                counts_dev = counts_dev + c * active.astype(jnp.int32)
             done += n
             if cancel is not None and cancel.is_set():
                 break

@@ -116,6 +116,94 @@ def test_clustered_any_hit_matches_occlusion():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_clustered_sparse_walk_bit31():
+    """Force a SPARSE survivor word whose highest set bit is 31 (INT_MIN)
+    so the sparse while_loop bit walk — not just the dense scan — executes
+    over the m & -m two's-complement edge (advisor round-2 finding).
+
+    Geometry: 32 groups of 128 triangles along x (one BVH leaf/cluster
+    each, pre-order = x order); groups 1..30 are offset +50 in y, groups 0
+    and 31 sit at y=0.  A tile of rays marching along +x at y~0 slab-hits
+    only clusters 0 and 31 -> survivor mask 0x80000001, popcount 2."""
+    rng = np.random.default_rng(31)
+    groups = []
+    for i in range(32):
+        cx = i * 100.0
+        cy = 0.0 if i in (0, 31) else 50.0
+        centers = np.array([cx, cy, 0.0]) + rng.uniform(
+            -0.3, 0.3, (128, 1, 3))
+        tri = centers + rng.normal(0, 0.1, (128, 3, 3))
+        groups.append(tri)
+    tri_p = np.concatenate(groups).astype(np.float32)
+    n = np.cross(tri_p[:, 1] - tri_p[:, 0], tri_p[:, 2] - tri_p[:, 0])
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    geom = make_geometry(tri_p, np.repeat(n[:, None, :], 3, axis=1),
+                         np.zeros((tri_p.shape[0],), np.int32))
+    clusters = build_clusters(geom)
+    assert clusters.n_clusters == 32 and clusters.n_blocks == 1
+
+    o = np.array([-50.0, 0.0, 0.0]) + rng.uniform(-0.2, 0.2, (256, 3))
+    d = np.array([1.0, 0.0, 0.0]) + rng.normal(0, 1e-4, (256, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+    # verify the intended mask from the builder's cluster bounds: exactly
+    # clusters 0 and 31 survive the slab test for this tile
+    cb = np.asarray(clusters.cluster_b)
+    survives = []
+    for ci in range(32):
+        lo, hi = cb[0:3, ci], cb[3:6, ci]
+        any_hit = False
+        for k in range(8):   # a few rays suffice — they are near-parallel
+            oo, dd = np.asarray(o[k]), np.asarray(d[k])
+            with np.errstate(divide="ignore"):
+                t0 = (lo - oo) / dd
+                t1 = (hi - oo) / dd
+            tmin = np.minimum(t0, t1).max()
+            tmax = np.maximum(t0, t1).min()
+            any_hit |= bool(tmax >= max(tmin, 0.0))
+        survives.append(any_hit)
+    assert survives[0] and survives[31] and sum(survives) == 2
+
+    ref = intersect(geom, o, d, 1e-4, INF_D)
+    got = intersect_clustered(geom, clusters, o, d, 1e-4, INF_D,
+                              interpret=True)
+    assert int(np.asarray(ref.valid).sum()) > 100
+    np.testing.assert_array_equal(np.asarray(got.valid),
+                                  np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.prim),
+                                  np.asarray(ref.prim))
+
+
+def test_sorted_dispatch_matches():
+    """Ray sorting before the clustered kernel (ops/intersect.py
+    _ray_sort_perm, BDPT_TPU_SORT) is purely a performance transform:
+    unpermuting the sorted launch's results must reproduce the unsorted
+    launch BITWISE, for any ray set (the kernel's per-ray closest hit and
+    min-index tie rule are independent of tile grouping)."""
+    from bidirectional_pathtracing_tpu.ops.intersect import _ray_sort_perm
+    geom = _random_mesh(2000, seed=13)
+    clusters = build_clusters(geom)
+    o, d = _random_rays(1024, seed=14)
+    perm = _ray_sort_perm(clusters, o, d)
+    # a valid permutation
+    assert sorted(np.asarray(perm).tolist()) == list(range(1024))
+    ref = intersect_clustered(geom, clusters, o, d, 1e-4, INF_D,
+                              interpret=True)
+    got = intersect_clustered(geom, clusters, o[perm], d[perm], 1e-4, INF_D,
+                              interpret=True)
+    inv = np.zeros(1024, np.int32)
+    inv[np.asarray(perm)] = np.arange(1024, dtype=np.int32)
+    np.testing.assert_array_equal(np.asarray(got.valid)[inv],
+                                  np.asarray(ref.valid))
+    np.testing.assert_array_equal(np.asarray(got.t)[inv],
+                                  np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(got.prim)[inv],
+                                  np.asarray(ref.prim))
+
+
 def test_cluster_builder_covers_all_triangles():
     geom = _random_mesh(1000, seed=8)
     clusters = build_clusters(geom)

@@ -51,6 +51,47 @@ def test_env_sample_L_is_unbiased_estimator():
     assert abs(est - exact) / exact < 0.05, (est, exact)
 
 
+def test_env_sample_Le_geometry_and_pdf():
+    """sample_Le (infinite-light emission, EXTENSION): every emitted ray
+    must cross the scene bounding sphere, the disk point pdf is uniform
+    1/(pi r^2), and E[sum(L)/dir_pdf] equals the env integral (the
+    direction stream is the same CDF sampler as sample_L)."""
+    import jax
+    import jax.numpy as jnp
+    from bidirectional_pathtracing_tpu.ops import envlight
+    img = _synthetic_env()
+    env = envlight.build_envmap(img)
+    n = 50_000
+    center = jnp.asarray([1.0, -2.0, 0.5])
+    radius = 3.0
+    k = jax.random.key(3)
+    u4 = jax.random.uniform(jax.random.fold_in(k, 0), (n, 4))
+    u2 = jax.random.uniform(jax.random.fold_in(k, 1), (n, 2))
+    rad, o, d, point_pdf, dir_pdf = envlight.sample_Le(
+        env, center, radius, u4, u2)
+    np.testing.assert_allclose(np.asarray(point_pdf),
+                               1.0 / (np.pi * radius * radius), rtol=1e-6)
+    # unit directions
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(d, axis=-1)), 1.0, atol=1e-5)
+    # each ray's closest approach to the center is inside the sphere and
+    # the origin lies outside it, pointing inward
+    oc = np.asarray(o) - np.asarray(center)
+    dn = np.asarray(d)
+    t_closest = -(oc * dn).sum(-1)
+    assert (t_closest > 0).all()           # pointed toward the scene
+    dist = np.linalg.norm(oc + t_closest[:, None] * dn, axis=-1)
+    assert (dist <= radius + 1e-4).all()   # sweeps the bounding sphere
+    assert (np.linalg.norm(oc, axis=-1) >= radius * 1.5).all()
+    # direction pdf: same unbiased-integral check as sample_L
+    est = float(jnp.mean(jnp.sum(rad, -1) / jnp.maximum(dir_pdf, 1e-9)))
+    h, w = img.shape[:2]
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    exact = float((img.sum(-1) * np.sin(theta)[:, None]).sum()
+                  * (np.pi / h) * (2 * np.pi / w))
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
 @pytest.mark.slow
 def test_env_render_matches_oracle():
     from bidirectional_pathtracing_tpu.config import RenderConfig

@@ -56,3 +56,25 @@ def test_microfacet_bdpt_runs(mf_scene):
     res = render(mf_scene, cfg)
     assert np.isfinite(res.combined).all()
     assert res.combined.mean() > 0.05
+
+
+def test_microfacet_bdpt_matches_pt(mf_scene):
+    """BDPT == PT block convergence on the microfacet scene (same pattern
+    as test_env_bdpt.py): both estimators are unbiased, so their
+    converged renders must agree.  This is the oracle-free validation of
+    microfacet under BDPT MIS (the wo-independent proxy pdf keeps the
+    partition of unity — see test_mis.py microfacet cases); a broken MIS
+    weighting shows up here as a systematic brightness bias, not noise."""
+    from bidirectional_pathtracing_tpu.config import RenderConfig
+    from bidirectional_pathtracing_tpu.utils.render import render
+    w, h, depth = 96, 72, 5
+    b = render(mf_scene, RenderConfig(
+        spp=48, max_ray_depth=depth, width=w, height=h,
+        integrator="bdpt")).combined
+    p = render(mf_scene, RenderConfig(
+        spp=48, max_ray_depth=depth, width=w, height=h,
+        integrator="pt", light_samples=2)).combined
+    a, c = _blocks(b), _blocks(p)
+    err = np.abs(a - c) / (np.abs(c) + 0.05)
+    assert err.mean() < 0.05, (err.mean(), err.max())
+    assert err.max() < 0.25, err.max()

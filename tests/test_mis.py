@@ -46,6 +46,17 @@ def test_mis_weights_sum_to_one(path_spec):
 
 
 @pytest.mark.parametrize("path_spec", ["floor_back", "wall_floor_back"])
+def test_mis_weights_sum_to_one_microfacet(path_spec):
+    """Partition of unity over paths with MICROFACET interior vertices —
+    the one BSDF whose BDPT behavior has no reference oracle (the
+    reference asserts, advanced_bsdf.cpp:144-148).  Exercises the
+    wo-independent MIS proxy pdf (ops/bsdf.py sample_pdf): with the
+    true-but-wo-starved NDF pdf this sum is #strategies, not 1."""
+    _check_partition(path_spec, consistent_camera=True, tol=2e-3,
+                     interior_mat=7)  # procedural id 7 = microfacet Al
+
+
+@pytest.mark.parametrize("path_spec", ["floor_back", "wall_floor_back"])
 def test_mis_weights_consistent_camera(path_spec):
     """With the internally consistent camera-pdf convention
     (bdpt._mis_tables(consistent_camera=True)) the partition of unity is
@@ -55,13 +66,13 @@ def test_mis_weights_consistent_camera(path_spec):
     _check_partition(path_spec, consistent_camera=True, tol=2e-3)
 
 
-def _check_partition(path_spec, consistent_camera, tol):
+def _check_partition(path_spec, consistent_camera, tol, interior_mat=0):
     scene = make_cornell_box()
     cam_pos = np.asarray(scene.camera.pos)
     light_n = np.array([0, -1.0, 0])
     area = 0.48
     nl = 1
-    diffuse = 0  # gray walls material id
+    diffuse = interior_mat  # material id at interior path vertices
 
     # a fixed path: camera -> surfaces -> point on the light
     if path_spec == "floor_back":

@@ -32,7 +32,12 @@ def test_mesh_shape_invariance(box, integrator):
     shape.  Pixel values agree to ~1 ULP (XLA may reassociate/fma
     differently per shard shape; the scatter-add summation order also
     varies) — a genuinely different sample set would differ at the 1e-1
-    noise level, so the tight tolerance pins the RNG invariance."""
+    noise level across most pixels, so the tight tolerance on 99.8% of
+    elements pins the RNG invariance.  A RARE knife-edge discrete flip is
+    admitted (<=0.2% of elements, each <1e-3): a ~1-ULP compile-variant
+    rounding under a branch (strategy gate, closest-hit tie, splat pixel
+    cast) flips one sample's discrete decision; measured instance: one
+    pixel at 5e-4 on the dp4xsp2 mesh (r03)."""
     assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
     cfg = _cfg(integrator)
     results = []
@@ -42,9 +47,16 @@ def test_mesh_shape_invariance(box, integrator):
     base_eye, base_light, base = results[0]
     assert np.isfinite(base).all()
     assert base.mean() > 0.01  # the box renders something
+
+    def check(a, b, atol):
+        d = np.abs(a - b)
+        bad = d > atol
+        assert bad.mean() <= 0.002, (bad.sum(), float(d.max()))
+        assert d.max() < 1e-3, float(d.max())
+
     for eye, light, combined in results[1:]:
-        np.testing.assert_allclose(base_eye, eye, atol=1e-6, rtol=1e-5)
-        np.testing.assert_allclose(base_light, light, atol=1e-5)
+        check(base_eye, eye, 1e-6)
+        check(base_light, light, 1e-5)
 
 
 def test_sp_axis_partitions_samples(box):

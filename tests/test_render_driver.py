@@ -79,8 +79,11 @@ def test_cooperative_cancel_keeps_partial_accumulation():
             return self.calls >= self.n
 
     scene = make_cornell_box()
+    # samples_per_chunk=1: cancel is checked between dispatches, so the
+    # stop granularity is the chunk; one pass per chunk pins the
+    # finest-grained behavior
     cfg = RenderConfig(spp=6, max_ray_depth=2, width=16, height=12,
-                       integrator="bdpt")
+                       integrator="bdpt", samples_per_chunk=1)
     full = render(scene, cfg)
     partial = render(scene, cfg, cancel=CancelAfter(2))
     assert partial.sample_counts.max() == 2
