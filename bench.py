@@ -26,11 +26,8 @@ def bench_scene(name, scene_path, depth, spp, chunk):
     import jax.numpy as jnp
     import numpy as np
     from bidirectional_pathtracing_tpu.config import RenderConfig
-    from bidirectional_pathtracing_tpu.parallel.render import (
-        make_render_mesh, render_step_sharded)
     from bidirectional_pathtracing_tpu.utils.render import (
         _bdpt_step_chunk, _trace_cfg)
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     width, height = 480, 360
     if os.path.isdir("/root/reference"):
@@ -46,11 +43,11 @@ def bench_scene(name, scene_path, depth, spp, chunk):
     cfg = RenderConfig(spp=spp, max_ray_depth=depth, width=width,
                        height=height, integrator="bdpt")
     # the EXACT dispatch the render() driver issues (same tcfg hash, same
-    # operand signature) so bench warms the compile cache for real renders
+    # operand signature AND shardings — a NamedSharding device_put here
+    # would flip the compile-cache key vs the CLI/flagship renders) so
+    # bench warms the compile cache for real renders
     tcfg = _trace_cfg(cfg)
     inv = jnp.float32(1.0 / spp)
-    mesh = make_render_mesh(jax.devices())
-    scene = jax.device_put(scene, NamedSharding(mesh, P()))
     key = jax.random.key(0)
 
     # warmup/compile (np.asarray = hard sync: block_until_ready is not a

@@ -375,20 +375,97 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-# Sort rays by (direction octant, origin Morton) before the clustered
-# kernel: incoherent bounce wavefronts collectively touch most clusters per
-# 256-ray tile (the measured 4x coherent/incoherent gap, BENCH_NOTES.md);
-# sorting groups rays that cut the same clusters into the same tiles so
-# per-tile culling works again.  Results are bitwise identical — a ray's
-# candidate set always contains its true closest hit regardless of tile
-# grouping, and the min-over-global-index tie rule is tile-independent —
-# so this is purely a performance transform (test_sorted_dispatch_matches).
+# Sort rays by their FIRST-CROSSED small cluster before the clustered
+# kernel.  The kernel streams, per 256-ray tile, the UNION of clusters any
+# ray in the tile cuts; incoherent bounce wavefronts make that union huge
+# (measured on CBbunny: ~81 clusters/tile streamed while each ray needs
+# ~1-10 — the r03 offline study in BENCH_NOTES.md).  Geometric keys
+# (origin Morton + direction octant) do NOT shrink the union: "fat"
+# clusters that span the whole scene pass every slab test at t~0, and
+# rays from one origin fan out everywhere.  Keying each ray by the id of
+# the first small-volume cluster its segment cuts (a cheap jnp slab
+# pre-pass over the cluster table) groups rays that will stream the SAME
+# clusters into the same tile (measured: 81 -> 34 clusters/tile), and
+# bunches dead lanes (empty t-windows -> no crossing -> tail key) into
+# all-dead tiles the kernel skips outright.
+#
+# Results are bitwise identical — a ray's candidate set always contains
+# its true closest hit regardless of tile grouping, and the
+# min-over-global-index tie rule is tile-independent — so this is purely
+# a performance transform (test_sorted_dispatch_matches).
 _SORT_RAYS = os.environ.get("BDPT_TPU_SORT", "1") != "0"
 _SORT_MIN_RAYS = 4096       # sorting overhead is not worth it on tiny sets
+_FAT_VOL_FRAC = 0.05        # clusters above this scene-volume fraction are
+                            # "fat": every tile streams them anyway, so
+                            # they carry no grouping information
 
 
-def _ray_sort_perm(clusters, o, d):
-    """[R] permutation ordering rays by (octant, 21-bit origin Morton)."""
+def _ray_sort_perm(clusters, o, d, min_t, max_t):
+    """[R] permutation: rays ordered by (first-crossed small cluster id,
+    direction octant); rays crossing no small cluster (incl. dead lanes)
+    sort to the back.  (Test/diagnostic surface; production dispatch uses
+    the key directly with payload-carrying sorts.)"""
+    return jnp.argsort(_ray_sort_perm_key(clusters, o, d, min_t, max_t))
+
+
+def _ray_sort_perm_key(clusters, o, d, min_t, max_t):
+    """[R] int32 sort key: first-crossed small cluster id * 8 + octant;
+    2^30 for rays crossing no small cluster (incl. dead lanes)."""
+    r = o.shape[0]
+    cb = clusters.cluster_b                       # [8, Cpad]
+    cpad = cb.shape[1]
+    inv_d = jnp.where(d == 0, INF_D, 1.0 / jnp.where(d == 0, 1.0, d))
+
+    ext = jnp.maximum(cb[3:6] - cb[0:3], 0.0)     # padding slots -> 0
+    scene_lo = jnp.min(jnp.where(jnp.isfinite(cb[0:3]), cb[0:3], INF_D),
+                       axis=1)
+    scene_hi = jnp.max(jnp.where(jnp.isfinite(cb[3:6]), cb[3:6], -INF_D),
+                       axis=1)
+    scene_vol = jnp.maximum(jnp.prod(scene_hi - scene_lo), 1e-30)
+    small = jnp.prod(ext, axis=0) < _FAT_VOL_FRAC * scene_vol  # [Cpad]
+
+    k = 32                                        # clusters per scan chunk
+    n_chunks = cpad // k
+    lo_c = cb[0:3].T.reshape(n_chunks, k, 3)
+    hi_c = cb[3:6].T.reshape(n_chunks, k, 3)
+    small_c = small.reshape(n_chunks, k)
+    base = jnp.arange(n_chunks, dtype=jnp.int32) * k
+
+    def body(carry, xs):
+        best_t, best_c = carry
+        lo_i, hi_i, sm_i, b_i = xs
+        tmin = jnp.full((k, r), -INF_D)
+        tmax = jnp.full((k, r), INF_D)
+        for a in range(3):
+            u = (lo_i[:, a][:, None] - o[None, :, a]) * inv_d[None, :, a]
+            v = (hi_i[:, a][:, None] - o[None, :, a]) * inv_d[None, :, a]
+            tmin = jnp.maximum(tmin, jnp.minimum(u, v))
+            tmax = jnp.minimum(tmax, jnp.maximum(u, v))
+        crossed = ((tmax >= tmin) & (tmax >= min_t[None, :])
+                   & (tmin <= max_t[None, :]) & sm_i[:, None])
+        tm = jnp.where(crossed, tmin, INF_D)
+        cmin = jnp.min(tm, axis=0)                # [r]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (k, r), 0)
+        cidx = jnp.min(jnp.where(tm <= cmin[None, :], iota + b_i,
+                                 jnp.int32(2 ** 30)), axis=0)
+        upd = cmin < best_t
+        return (jnp.where(upd, cmin, best_t),
+                jnp.where(upd, cidx, best_c)), None
+
+    init = (jnp.full((r,), INF_D), jnp.full((r,), 2 ** 30, jnp.int32))
+    (_, first_c), _ = jax.lax.scan(body, init, (lo_c, hi_c, small_c, base))
+
+    octant = ((d[:, 0] > 0).astype(jnp.int32)
+              | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] > 0).astype(jnp.int32) << 2))
+    return jnp.where(first_c < 2 ** 30, first_c * 8 + octant, 2 ** 30)
+
+
+def _morton_key(clusters, o, d):
+    """[R] int32 key (direction octant, 21-bit origin Morton) — the
+    cheap geometric key used for the WALK launches (one launch per bounce,
+    wavefront-sized; measured +4% on CBbunny vs unsorted, and the
+    first-cluster pre-pass does not pay for itself at this launch size)."""
     cb = clusters.cluster_b
     lo = jnp.min(jnp.where(jnp.isfinite(cb[0:3]), cb[0:3], INF_D), axis=1)
     hi = jnp.max(jnp.where(jnp.isfinite(cb[3:6]), cb[3:6], -INF_D), axis=1)
@@ -401,25 +478,80 @@ def _ray_sort_perm(clusters, o, d):
     octant = ((d[:, 0] > 0).astype(jnp.int32)
               | ((d[:, 1] > 0).astype(jnp.int32) << 1)
               | ((d[:, 2] > 0).astype(jnp.int32) << 2))
-    return jnp.argsort((octant << 21) | m)
+    return (octant << 21) | m
+
+
+# TPU gathers run at ~0.35G rows/s (r03 trace: permuting the 6.2M-lane
+# shadow batch's ray arrays cost 0.32 s/pass while the argsort itself was
+# 19 ms).  Variadic lax.sort CARRIES payload operands through its vector
+# merge network instead, so reordering rays costs ~the sort, not gathers.
+def _sort_with_payload(key, arrays):
+    """Sort arrays by key; returns (orig_ids_in_sorted_order, arrays)."""
+    r = key.shape[0]
+    idx = jnp.arange(r, dtype=jnp.int32)
+    out = jax.lax.sort((key, idx) + tuple(arrays), dimension=0, num_keys=1)
+    return out[1], out[2:]
+
+
+def _unsort_payload(idx_sorted, arrays):
+    """Inverse of _sort_with_payload: restore lane order for results."""
+    out = jax.lax.sort((idx_sorted,) + tuple(arrays), dimension=0,
+                       num_keys=1)
+    return out[1:]
 
 
 def _sorted_clustered_intersect(scene, o, d, min_t, max_t) -> Hit:
     from bidirectional_pathtracing_tpu.ops.intersect_clustered import (
-        intersect_clustered)
+        intersect_clustered, resolve_clustered_hit,
+        tri_closest_hit_clustered)
     r = o.shape[0]
-    if not _SORT_RAYS or r < _SORT_MIN_RAYS:
-        return intersect_clustered(scene.geometry, scene.clusters,
-                                   o, d, min_t, max_t)
     min_b = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r,))
     max_b = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r,))
-    perm = _ray_sort_perm(scene.clusters, o, d)
-    hit = intersect_clustered(scene.geometry, scene.clusters,
-                              o[perm], d[perm], min_b[perm], max_b[perm])
-    inv = jnp.zeros((r,), jnp.int32).at[perm].set(
-        jnp.arange(r, dtype=jnp.int32))
-    return Hit(t=hit.t[inv], valid=hit.valid[inv], n=hit.n[inv],
-               mat=hit.mat[inv], prim=hit.prim[inv])
+    if not _SORT_RAYS or r < _SORT_MIN_RAYS:
+        return intersect_clustered(scene.geometry, scene.clusters,
+                                   o, d, min_b, max_b)
+    key = _morton_key(scene.clusters, o, d)
+    idx_s, (o0, o1, o2, d0, d1, d2, mn, mx) = _sort_with_payload(
+        key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+              min_b, max_b))
+    t_s, slot_s = tri_closest_hit_clustered(
+        scene.clusters, jnp.stack([o0, o1, o2], -1),
+        jnp.stack([d0, d1, d2], -1), mn, mx)
+    t, slot = _unsort_payload(idx_s, (t_s, slot_s))
+    return resolve_clustered_hit(scene.geometry, scene.clusters, o, d,
+                                 min_b, max_b, t, slot)
+
+
+def _sorted_clustered_occluded(scene, o, d, min_t, max_t):
+    """Any-hit with first-crossed-cluster segment sorting.
+
+    The BDPT shadow batch is ONE launch of (s,t)-combos x wavefront lanes
+    (~36x the walk size on CBbunny d5) and measured 74% of the whole step
+    (r03 trace) — one sort amortized over that launch is easily worth it.
+    Invalid/pruned pairs carry empty t-windows -> no crossing -> tail
+    key -> they bunch into all-dead tiles whose block slab tests all fail,
+    so the kernel skips them outright (the wavefront equivalent of not
+    casting the reference's shadow ray at all, bidirection.cpp:418-433)."""
+    from bidirectional_pathtracing_tpu.ops.intersect_clustered import (
+        tri_closest_hit_clustered)
+    r = o.shape[0]
+    min_b = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r,))
+    max_b = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r,))
+    key = _ray_sort_perm_key(scene.clusters, o, d, min_b, max_b)
+    idx_s, (o0, o1, o2, d0, d1, d2, mn, mx) = _sort_with_payload(
+        key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+              min_b, max_b))
+    _, slot_s = tri_closest_hit_clustered(
+        scene.clusters, jnp.stack([o0, o1, o2], -1),
+        jnp.stack([d0, d1, d2], -1), mn, mx, any_hit=True)
+    (slot,) = _unsort_payload(idx_s, (slot_s,))
+    hit = slot >= 0
+    geom = scene.geometry
+    if geom.num_spheres > 0:
+        ts, hs = sphere_intersect_batch(
+            o, d, geom.sph_c, geom.sph_r, min_b, max_b)
+        hit = hit | jnp.any(hs & geom.sph_valid[None, :], axis=-1)
+    return hit
 
 
 def scene_intersect(scene, o, d, min_t, max_t) -> Hit:
@@ -458,6 +590,8 @@ def scene_occluded(scene, o, d, min_t, max_t):
             # its remaining cluster streams are skipped
             from bidirectional_pathtracing_tpu.ops.intersect_clustered \
                 import occluded_clustered
+            if _SORT_RAYS and o.shape[0] >= _SORT_MIN_RAYS:
+                return _sorted_clustered_occluded(scene, o, d, min_t, max_t)
             return occluded_clustered(scene.geometry, scene.clusters,
                                       o, d, min_t, max_t)
         # brute force has no early-out advantage: reuse closest-hit

@@ -307,6 +307,16 @@ def intersect_clustered(geom, clusters: ClusteredTris, o, d, min_t, max_t,
     max_b = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r,))
     t, slot = tri_closest_hit_clustered(clusters, o, d, min_b, max_b,
                                         interpret=interpret)
+    return resolve_clustered_hit(geom, clusters, o, d, min_b, max_b, t, slot)
+
+
+def resolve_clustered_hit(geom, clusters: ClusteredTris, o, d,
+                          min_b, max_b, t, slot) -> Hit:
+    """Turn the kernel's (t, padded slot) into a full Hit: barycentric
+    normal recompute for the winning triangle + jnp sphere merge.  Split
+    out so the sorted dispatch (ops/intersect.py) can run the kernel on
+    permuted rays, un-permute only (t, slot), and resolve in lane order."""
+    r = o.shape[0]
     sid = jnp.clip(slot.astype(jnp.int32), 0,
                    clusters.pad2global.shape[0] - 1)
     tid = jnp.clip(clusters.pad2global[sid], 0, geom.num_tris - 1)

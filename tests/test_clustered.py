@@ -187,7 +187,8 @@ def test_sorted_dispatch_matches():
     geom = _random_mesh(2000, seed=13)
     clusters = build_clusters(geom)
     o, d = _random_rays(1024, seed=14)
-    perm = _ray_sort_perm(clusters, o, d)
+    perm = _ray_sort_perm(clusters, o, d, jnp.full((1024,), 1e-4),
+                          jnp.full((1024,), INF_D))
     # a valid permutation
     assert sorted(np.asarray(perm).tolist()) == list(range(1024))
     ref = intersect_clustered(geom, clusters, o, d, 1e-4, INF_D,
@@ -202,6 +203,37 @@ def test_sorted_dispatch_matches():
                                   np.asarray(ref.t))
     np.testing.assert_array_equal(np.asarray(got.prim)[inv],
                                   np.asarray(ref.prim))
+
+
+def test_sorted_occlusion_matches():
+    """The any-hit variant is permutation-invariant too: unpermuting a
+    first-cluster-sorted launch reproduces the unsorted result bitwise
+    (the production shadow-batch path, ops/intersect.py
+    _sorted_clustered_occluded)."""
+    from bidirectional_pathtracing_tpu.ops.intersect import (
+        _ray_sort_perm, occluded)
+    from bidirectional_pathtracing_tpu.ops.intersect_clustered import (
+        occluded_clustered)
+    geom = _random_mesh(1500, seed=15)
+    clusters = build_clusters(geom)
+    o, d = _random_rays(1024, seed=16)
+    # a mix of live windows and dead (pruned-pair) windows
+    rng = np.random.default_rng(17)
+    max_t = jnp.asarray(np.where(rng.random(1024) < 0.3, -1.0,
+                                 rng.uniform(0.5, 6.0, 1024)).astype(
+                                     np.float32))
+    min_t = jnp.full((1024,), 1e-3)
+    perm = _ray_sort_perm(clusters, o, d, min_t, max_t)
+    ref = occluded_clustered(geom, clusters, o, d, min_t, max_t,
+                             interpret=True)
+    got = occluded_clustered(geom, clusters, o[perm], d[perm],
+                             min_t[perm], max_t[perm], interpret=True)
+    inv = np.zeros(1024, np.int32)
+    inv[np.asarray(perm)] = np.arange(1024, dtype=np.int32)
+    np.testing.assert_array_equal(np.asarray(got)[inv], np.asarray(ref))
+    # and both agree with the brute-force oracle
+    np.testing.assert_array_equal(
+        np.asarray(ref), np.asarray(occluded(geom, o, d, min_t, max_t)))
 
 
 def test_cluster_builder_covers_all_triangles():

@@ -201,28 +201,45 @@ def main():
             weak.append(r)
     if weak:
         t1 = weak[0]["wall_s"]
+        # XLA's intra-op pool makes even the 1-device run consume >1 core
+        # (cpu_util_cores records the measured burn), so wall-time ratios
+        # conflate SPMD overhead with plain core starvation on this
+        # 2-core host.  The clean signal is throughput per consumed
+        # core-second: flat-or-rising means the SPMD program adds no
+        # overhead as devices are added; falling means sharding costs.
+        base_pcs = (weak[0]["samples_per_s"] / weak[0]["cpu_util_cores"])
         for r in weak:
             n = r["devices"]
             r["efficiency_raw"] = round(t1 / r["wall_s"], 3)
-            # beyond the core budget the ideal wall itself grows N/cores-
-            # fold: devices time-share cores; normalize so the SPMD
-            # overhead is visible through the starvation
             r["ideal_wall_s"] = round(t1 * max(1.0, n / cores), 4)
             r["efficiency_core_normalized"] = round(
                 r["ideal_wall_s"] / r["wall_s"], 3)
+            r["samples_per_core_s"] = round(
+                r["samples_per_s"] / r["cpu_util_cores"], 1)
+            r["efficiency_per_core"] = round(
+                r["samples_per_core_s"] / base_pcs, 3)
 
     # --- collective-cost ablation at the full-budget mesh ---------------
+    # run-to-run noise on this host is a few percent, the same order as
+    # the psum cost itself; take the min wall of 3 runs per variant so the
+    # share is an upper bound on the collective cost, not a noise sample
     n_ab = min(2, cores)
-    with_p = run_worker(n_ab, w, base_h * n_ab, args.spp, 1, psum_on=1)
-    no_p = run_worker(n_ab, w, base_h * n_ab, args.spp, 1, psum_on=0)
+    with_runs = [run_worker(n_ab, w, base_h * n_ab, args.spp, 1, psum_on=1)
+                 for _ in range(3)]
+    no_runs = [run_worker(n_ab, w, base_h * n_ab, args.spp, 1, psum_on=0)
+               for _ in range(3)]
+    with_runs = [r for r in with_runs if r]
+    no_runs = [r for r in no_runs if r]
     ablation = None
-    if with_p and no_p:
+    if with_runs and no_runs:
+        wp = min(r["wall_s"] for r in with_runs)
+        np_ = min(r["wall_s"] for r in no_runs)
         ablation = {
             "devices": n_ab,
-            "wall_s_with_psum": with_p["wall_s"],
-            "wall_s_without_psum": no_p["wall_s"],
-            "psum_share_of_step": round(
-                1 - no_p["wall_s"] / with_p["wall_s"], 4),
+            "runs_per_variant": 3,
+            "wall_s_with_psum_min": wp,
+            "wall_s_without_psum_min": np_,
+            "psum_share_of_step": round(1 - np_ / wp, 4),
         }
         print(ablation)
 
