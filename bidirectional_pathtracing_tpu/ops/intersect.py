@@ -394,6 +394,10 @@ def _on_tpu() -> bool:
 # min-over-global-index tie rule is tile-independent — so this is purely
 # a performance transform (test_sorted_dispatch_matches).
 _SORT_RAYS = os.environ.get("BDPT_TPU_SORT", "1") != "0"
+# Walk (closest-hit) launches default to the cheap Morton key; set
+# BDPT_TPU_WALK_SORT=fc to use the first-crossed-cluster key there too
+# (the shadow batch always uses it).
+_WALK_SORT_FC = os.environ.get("BDPT_TPU_WALK_SORT", "") == "fc"
 _SORT_MIN_RAYS = 4096       # sorting overhead is not worth it on tiny sets
 _FAT_VOL_FRAC = 0.05        # clusters above this scene-volume fraction are
                             # "fat": every tile streams them anyway, so
@@ -510,7 +514,10 @@ def _sorted_clustered_intersect(scene, o, d, min_t, max_t) -> Hit:
     if not _SORT_RAYS or r < _SORT_MIN_RAYS:
         return intersect_clustered(scene.geometry, scene.clusters,
                                    o, d, min_b, max_b)
-    key = _morton_key(scene.clusters, o, d)
+    if _WALK_SORT_FC:
+        key = _ray_sort_perm_key(scene.clusters, o, d, min_b, max_b)
+    else:
+        key = _morton_key(scene.clusters, o, d)
     idx_s, (o0, o1, o2, d0, d1, d2, mn, mx) = _sort_with_payload(
         key, (o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
               min_b, max_b))

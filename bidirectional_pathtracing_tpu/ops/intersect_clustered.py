@@ -52,6 +52,17 @@ import os as _os
 
 TILE_R = int(_os.environ.get("BDPT_TPU_TILE_R", "256"))
 
+# Survivor masks can be tracked per SUB-TILE of TILE_R // SUBTILES rays,
+# running the streamed cluster's Möller–Trumbore only on sub-tiles that
+# have a surviving ray (DMA/scalar cost stays per-tile; MT cost drops to
+# the finer-grained unions).  Measured on CBbunny (28.5k tris): -9% —
+# morton-sorted walk tiles are spatially tight enough that both halves
+# stream nearly the same clusters, so the split only doubles op-issue
+# (BENCH_NOTES.md "divergence experiments").  Default stays 1; the knob
+# is kept for large-scene experiments where tile unions are far wider.
+SUBTILES = int(_os.environ.get("BDPT_TPU_SUBTILES", "1"))
+assert TILE_R % SUBTILES == 0
+
 
 def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
                       t_ref, idx_ref,
@@ -69,51 +80,71 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
     bt_ref[0, :] = jnp.full((TILE_R,), INF_D, jnp.float32)
     bi_ref[0, :] = jnp.full((TILE_R,), -1.0, jnp.float32)
 
+    hw = TILE_R // SUBTILES                         # rays per sub-tile
     iota = jax.lax.broadcasted_iota(
-        jnp.int32, (tc, TILE_R), 0).astype(jnp.float32)
+        jnp.int32, (tc, hw), 0).astype(jnp.float32)
     # bit masks ride in int32 (Mosaic lacks unsigned reductions); bit 31 is
     # INT_MIN, which sums and logical-shifts exactly like the uint bit
     pow2 = jnp.left_shift(
         jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0))
+    srl = jax.lax.shift_right_logical
 
-    def mt_cluster(c, slot):
-        """Möller–Trumbore the streamed cluster (already DMA'd into
-        tri_scr[slot]; the wait happened in the caller)."""
-        v = [tri_scr[slot, k, :] for k in range(9)]  # [tc]
-        e1 = [v[3 + k] - v[k] for k in range(3)]
-        e2 = [v[6 + k] - v[k] for k in range(3)]
-        s = [o[k][None, :] - v[k][:, None] for k in range(3)]
-        s1 = [d[(k + 1) % 3][None, :] * e2[(k + 2) % 3][:, None]
-              - d[(k + 2) % 3][None, :] * e2[(k + 1) % 3][:, None]
+    def mt_half(c, vc, e1, e2, h):
+        """Möller–Trumbore one streamed cluster against sub-tile h.
+        vc/e1/e2 are the cluster's [tc, 1] columns (shared prep)."""
+        sl = slice(h * hw, (h + 1) * hw)
+        oh = [ok[sl] for ok in o]
+        dh = [dk[sl] for dk in d]
+        mn = min_t[sl]
+        mx = max_t[sl]
+        s = [oh[k][None, :] - vc[k] for k in range(3)]
+        s1 = [dh[(k + 1) % 3][None, :] * e2[(k + 2) % 3]
+              - dh[(k + 2) % 3][None, :] * e2[(k + 1) % 3]
               for k in range(3)]
-        s2 = [s[(k + 1) % 3] * e1[(k + 2) % 3][:, None]
-              - s[(k + 2) % 3] * e1[(k + 1) % 3][:, None]
+        s2 = [s[(k + 1) % 3] * e1[(k + 2) % 3]
+              - s[(k + 2) % 3] * e1[(k + 1) % 3]
               for k in range(3)]
-        denom = sum(s1[k] * e1[k][:, None] for k in range(3))
+        denom = sum(s1[k] * e1[k] for k in range(3))
         inv = jnp.where(denom == 0, 0.0,
                         1.0 / jnp.where(denom == 0, 1.0, denom))
-        t = sum(s2[k] * e2[k][:, None] for k in range(3)) * inv
+        t = sum(s2[k] * e2[k] for k in range(3)) * inv
         b1 = sum(s1[k] * s[k] for k in range(3)) * inv
-        b2 = sum(s2[k] * d[k][None, :] for k in range(3)) * inv
-        best_t = bt_ref[0, :]
-        ok = ((denom != 0) & (t >= min_t[None, :])
-              & (t <= jnp.minimum(max_t, best_t)[None, :])
+        b2 = sum(s2[k] * dh[k][None, :] for k in range(3)) * inv
+        best_t = bt_ref[0, sl]
+        ok = ((denom != 0) & (t >= mn[None, :])
+              & (t <= jnp.minimum(mx, best_t)[None, :])
               & (b1 >= 0) & (b2 >= 0) & (b1 + b2 <= 1))
         tm = jnp.where(ok, t, INF_D)
-        cmin = jnp.min(tm, axis=0)                   # [TILE_R]
+        cmin = jnp.min(tm, axis=0)                   # [hw]
         hit_iota = jnp.where(tm <= cmin[None, :],
                              iota + (c * tc).astype(jnp.float32), INF_D)
         cidx = jnp.min(hit_iota, axis=0)
         closer = cmin < best_t
-        bi_ref[0, :] = jnp.where(closer, cidx, bi_ref[0, :])
+        bi_ref[0, sl] = jnp.where(closer, cidx, bi_ref[0, sl])
         if any_hit:
             # occlusion semantics: a hit ray needs no closest point — poison
             # its window so every later slab test fails and its blocks are
             # skipped (the reference's early-out any-hit, bvh.cpp:131-158,
             # without its leaf-miss fallthrough bug)
-            bt_ref[0, :] = jnp.where(closer, -INF_D, best_t)
+            bt_ref[0, sl] = jnp.where(closer, -INF_D, best_t)
         else:
-            bt_ref[0, :] = jnp.where(closer, cmin, best_t)
+            bt_ref[0, sl] = jnp.where(closer, cmin, best_t)
+
+    def mt_cluster(c, slot, cl, sub_masks):
+        """Shared per-cluster prep, then MT only on sub-tiles whose
+        survivor bit for cluster-bit cl is set (all sub-tiles when
+        SUBTILES == 1: the caller only reaches set any-bits)."""
+        v = [tri_scr[slot, k, :] for k in range(9)]  # [tc]
+        vc = [vk[:, None] for vk in v]               # [tc, 1]
+        e1 = [vc[3 + k] - vc[k] for k in range(3)]
+        e2 = [vc[6 + k] - vc[k] for k in range(3)]
+        if SUBTILES == 1:
+            mt_half(c, vc, e1, e2, 0)
+            return
+        for h in range(SUBTILES):
+            @pl.when((srl(sub_masks[h], cl) & 1) != 0)
+            def _mt_h(h=h):
+                mt_half(c, vc, e1, e2, h)
 
     def block_body(b, _):
         # level 1: merged block AABB, 6 scalar reads + one vector slab
@@ -144,13 +175,18 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
                 tmax = jnp.minimum(tmax, jnp.maximum(a, bq))
             chit = ((tmax >= tmin) & (tmax >= min_t[None, :])
                     & (tmin <= limit[None, :]))
-            flags = jnp.any(chit, axis=1, keepdims=True)   # [block_size, 1]
             # never stream padding slots past the real cluster count (their
             # +/-inf sentinel bounds pass the slab test; a DMA would read
             # out of bounds)
             slot_ids = jax.lax.broadcasted_iota(
                 jnp.int32, (block_size, 1), 0) + base
-            flags = flags & (slot_ids < n_clusters)
+            valid = slot_ids < n_clusters
+            sub_flags = [jnp.any(chit[:, h * hw:(h + 1) * hw], axis=1,
+                                 keepdims=True) & valid
+                         for h in range(SUBTILES)]
+            flags = sub_flags[0]
+            for sf in sub_flags[1:]:
+                flags = flags | sf
 
             # level 3: stream surviving clusters (bits in scalar registers).
             # Per word, ALL surviving DMAs are issued before the first wait
@@ -159,15 +195,16 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
             for w in range(block_size // 32):
                 fw = flags[w * 32:(w + 1) * 32]
                 mask = jnp.sum(jnp.where(fw, pow2, jnp.int32(0)))
+                sub_masks = [jnp.sum(jnp.where(sf[w * 32:(w + 1) * 32],
+                                               pow2, jnp.int32(0)))
+                             for sf in sub_flags] if SUBTILES > 1 else None
 
                 @pl.when(mask != jnp.int32(0))
-                def _scan_word(mask=mask, w=w):
+                def _scan_word(mask=mask, w=w, sub_masks=sub_masks):
                     def dma(cl):
                         return pltpu.make_async_copy(
                             tris_hbm.at[base + w * 32 + cl],
                             tri_scr.at[cl], sems.at[cl])
-
-                    srl = jax.lax.shift_right_logical
 
                     # Sparse masks (coherent camera tiles survive only a
                     # handful of clusters) iterate set bits only — 2.8x on
@@ -207,7 +244,7 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
                         def mt_body(m):
                             cl = bit_index(m)
                             dma(cl).wait()
-                            mt_cluster(base + w * 32 + cl, cl)
+                            mt_cluster(base + w * 32 + cl, cl, cl, sub_masks)
                             return m & (m - 1)
 
                         nz = lambda m: m != jnp.int32(0)
@@ -226,7 +263,8 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
                             @pl.when((srl(mask, cl) & 1) != 0)
                             def _mt():
                                 dma(cl).wait()
-                                mt_cluster(base + w * 32 + cl, cl)
+                                mt_cluster(base + w * 32 + cl, cl, cl,
+                                           sub_masks)
                             return __
 
                         jax.lax.fori_loop(0, 32, start_body, 0)

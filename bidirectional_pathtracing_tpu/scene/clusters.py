@@ -30,7 +30,12 @@ from typing import NamedTuple
 
 import numpy as np
 
-CLUSTER_SIZE = 128   # triangles per cluster (= DMA block lane dim)
+# triangles per cluster (= DMA block lane dim).  Must stay a multiple of
+# the 128-lane VMEM tile: Mosaic rejects HBM->VMEM DMA slices with a
+# narrower lane extent (measured r03: CLUSTER_SIZE=64 fails to compile
+# with a tpu.memref_slice diagnostic), so finer-grained streaming would
+# need a packed two-subclusters-per-row layout, not a smaller chunk.
+CLUSTER_SIZE = 128
 BLOCK_SIZE = 128     # clusters per block (= cluster-bounds lane alignment)
 
 
