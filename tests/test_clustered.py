@@ -5,10 +5,14 @@ two-level cluster cut must return bitwise-identical hits to the exhaustive
 jnp scan for any ray set, including segment-clipped shadow rays.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from bidirectional_pathtracing_tpu.core.math import INF_D
 from bidirectional_pathtracing_tpu.ops.intersect import intersect
@@ -283,3 +287,41 @@ def test_clustered_dense_mask_word():
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(got.prim),
                                   np.asarray(ref.prim))
+
+
+@pytest.mark.slow
+def test_clustered_subtiles2_matches_bruteforce():
+    """The experimental per-sub-tile MT mask path (BDPT_TPU_SUBTILES=2,
+    kept for large-scene experiments; default 1) must stay bit-identical
+    to the brute-force reference.  SUBTILES is read at import time, so
+    the check runs in a subprocess with the env set."""
+    import subprocess
+    import sys
+    snippet = (
+        "import numpy as np, jax.numpy as jnp\n"
+        "from tests.test_clustered import _random_mesh, _random_rays\n"
+        "from bidirectional_pathtracing_tpu.ops.intersect import intersect\n"
+        "from bidirectional_pathtracing_tpu.ops.intersect_clustered import ("
+        "intersect_clustered, SUBTILES)\n"
+        "from bidirectional_pathtracing_tpu.scene.clusters import "
+        "build_clusters\n"
+        "from bidirectional_pathtracing_tpu.core.math import INF_D\n"
+        "assert SUBTILES == 2\n"
+        "geom = _random_mesh(700, seed=3)\n"
+        "o, d = _random_rays(640, seed=4)\n"
+        "ref = intersect(geom, o, d, 1e-4, INF_D)\n"
+        "clusters = build_clusters(geom)\n"
+        "got = intersect_clustered(geom, clusters, o, d, 1e-4, INF_D,"
+        " interpret=True)\n"
+        "np.testing.assert_array_equal(np.asarray(got.valid),"
+        " np.asarray(ref.valid))\n"
+        "np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),"
+        " rtol=1e-6)\n"
+        "np.testing.assert_array_equal(np.asarray(got.prim),"
+        " np.asarray(ref.prim))\n"
+        "print('SUBTILES2_OK')\n"
+    )
+    env = dict(os.environ, BDPT_TPU_SUBTILES="2", JAX_PLATFORMS="cpu")
+    p = subprocess.run([sys.executable, "-c", snippet], cwd=REPO,
+                       capture_output=True, text=True, timeout=600, env=env)
+    assert "SUBTILES2_OK" in p.stdout, (p.stdout[-500:], p.stderr[-1500:])
