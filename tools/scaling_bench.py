@@ -114,12 +114,18 @@ WORKER = textwrap.dedent("""
 """) % dict(repo=REPO)
 
 
-def run_worker(n, w, h, spp, sp, psum_on=1):
+def run_worker(n, w, h, spp, sp, psum_on=1, pin_cores=None):
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    cmd = [sys.executable, "-c", WORKER, str(n), str(w), str(h), str(spp),
+           str(sp), str(psum_on)]
+    if pin_cores:
+        # pin the whole process (XLA pool included) to `pin_cores` cores:
+        # with one core per device, the host core budget is exact and the
+        # weak-scaling ideal (flat wall time) is actually attainable
+        cmd = ["taskset", "-c", "0-%d" % (pin_cores - 1)] + cmd
     p = subprocess.run(
-        [sys.executable, "-c", WORKER, str(n), str(w), str(h), str(spp),
-         str(sp), str(psum_on)],
+        cmd,
         capture_output=True, text=True, env=env, cwd=REPO, timeout=900)
     line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
     if not line:
@@ -219,6 +225,25 @@ def main():
             r["efficiency_per_core"] = round(
                 r["samples_per_core_s"] / base_pcs, 3)
 
+    # --- PINNED weak scaling: exactly one host core per device ----------
+    # The unpinned runs conflate SPMD overhead with XLA's intra-op pool
+    # oversubscribing the 2-core host (the 1-device run alone burns ~1.6
+    # cores).  Pinning each run to one core per device makes the core
+    # budget exact, so flat wall time through devices == cores is the
+    # honest >=90% weak-scaling test this host can express.
+    pinned = []
+    for dp in (1, 2):
+        if dp > cores:
+            break
+        r = run_worker(dp, w, base_h * dp, args.spp, 1, pin_cores=dp)
+        if r:
+            r["pinned_cores"] = dp
+            pinned.append(r)
+    if pinned:
+        t1p = pinned[0]["wall_s"]
+        for r in pinned:
+            r["efficiency"] = round(t1p / r["wall_s"], 3)
+
     # --- collective-cost ablation at the full-budget mesh ---------------
     # run-to-run noise on this host is a few percent, the same order as
     # the psum cost itself; take the min wall of 3 runs per variant so the
@@ -250,6 +275,7 @@ def main():
                     f"(fixed work per device; ideal = flat wall time "
                     f"while devices <= cores)",
         "weak_scaling": weak,
+        "weak_scaling_pinned_1core_per_device": pinned,
         "collective_ablation": ablation,
     }
     if args.chip:
