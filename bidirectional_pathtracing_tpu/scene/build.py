@@ -109,12 +109,16 @@ def attach_accelerator(scene, accel: str = "auto",
 def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
                 lens_radius: float = 0.0, focal_distance: float = 4.7,
                 accel: str = "auto", brute_force_max_tris: int = 2048,
-                bvh_max_leaf_size: int = 4, mesh_ops: tuple = ()):
+                bvh_max_leaf_size: int = 4, mesh_ops: tuple = (),
+                mesh_ops_min_tris: int = 0):
     """Flatten SceneInfo to a Scene pytree (without BVH; attach separately).
 
     mesh_ops: sequence of "upsample" / "downsample" / "resample" applied to
     every polymesh before triangulation (the reference's EDIT-mode u/d/i
     keys, application.cpp:504-512 — which call unimplemented stubs there).
+    mesh_ops_min_tris: only apply mesh_ops to meshes with at least this
+    many triangles — e.g. subdivide the statue but not the Cornell-box
+    walls, whose open boundaries would shrink under Loop subdivision.
 
     Returns (scene, aux) where aux carries host-side metadata (names, bbox).
     """
@@ -165,7 +169,8 @@ def build_scene(scene_info: C.SceneInfo, screen_w: int, screen_h: int,
         elif isinstance(inst, C.PolymeshInfo):
             verts = np.stack([_xform_point(T, v) for v in inst.vertices])
             polygons = inst.polygons
-            if mesh_ops:
+            n_tris0 = sum(max(len(p) - 2, 0) for p in polygons)
+            if mesh_ops and n_tris0 >= mesh_ops_min_tris:
                 from bidirectional_pathtracing_tpu.scene.meshedit import (
                     HalfedgeMesh)
                 # The reference's boundary-walk normal flip (see

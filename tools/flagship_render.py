@@ -32,11 +32,14 @@ SCENES = {
 
 
 def _load_lucy_standin(width, height):
-    """CBbunny with its meshes Loop-subdivided twice via meshedit
-    (28.5k -> 457k tris)."""
+    """CBbunny with the bunny mesh Loop-subdivided twice via meshedit
+    (28.5k -> ~457k tris).  Only meshes >=1000 tris are subdivided: the
+    Cornell-box walls are open sheets whose boundaries shrink under Loop
+    subdivision (they rendered as ovals in the first r03 artifact)."""
     from bidirectional_pathtracing_tpu.scene.build import load_scene
     return load_scene("/root/reference/dae/sky/CBbunny.dae", width, height,
-                      mesh_ops=("upsample", "upsample"))
+                      mesh_ops=("upsample", "upsample"),
+                      mesh_ops_min_tris=1000)
 
 
 def block_err(a, b, nb=8, floor=8.0):
