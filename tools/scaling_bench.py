@@ -37,6 +37,8 @@ import textwrap
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+if REPO not in sys.path:     # `python tools/scaling_bench.py` puts tools/
+    sys.path.insert(0, REPO)  # first; the in-process --chip mode needs REPO
 
 WORKER = textwrap.dedent("""
     import sys, time, json, os, resource
