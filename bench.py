@@ -10,6 +10,8 @@ Scenes:
                           machinery (brute-force kernel path)
   CBbunny   480x360 d5  — 28.5k tris: the clustered large-scene kernel
   CBgems    480x360 d8  — depth-8 compile + delta-heavy paths
+  CBlucy_standin d5     — 457k tris (CBbunny, bunny Loop-subdivided 2x):
+                          the clustered kernel's log-ish scaling row
 """
 
 import json
@@ -32,7 +34,15 @@ def bench_scene(name, scene_path, depth, spp, chunk):
     width, height = 480, 360
     if os.path.isdir("/root/reference"):
         from bidirectional_pathtracing_tpu.scene.build import load_scene
-        scene, aux = load_scene(scene_path, width, height)
+        if name == "CBlucy_standin":
+            # the 457k-tri large-scene row (CBlucy.dae is a missing blob;
+            # stand-in = CBbunny with the bunny Loop-subdivided twice,
+            # walls intact -- same scene as tools/flagship_render.py lucy)
+            scene, aux = load_scene(scene_path, width, height,
+                                    mesh_ops=("upsample", "upsample"),
+                                    mesh_ops_min_tris=1000)
+        else:
+            scene, aux = load_scene(scene_path, width, height)
         n_tris = aux["num_tris"]
     else:
         from bidirectional_pathtracing_tpu.scene.procedural import (
@@ -97,6 +107,7 @@ def main():
         ("CBspheres", "/root/reference/dae/sky/CBspheres.dae", 5, 32, 8),
         ("CBbunny", "/root/reference/dae/sky/CBbunny.dae", 5, 8, 8),
         ("CBgems", "/root/reference/dae/sky/CBgems.dae", 8, 8, 8),
+        ("CBlucy_standin", "/root/reference/dae/sky/CBbunny.dae", 5, 8, 8),
     ]
     results = []
     printed = False
