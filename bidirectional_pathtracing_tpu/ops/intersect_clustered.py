@@ -61,7 +61,10 @@ TILE_R = int(_os.environ.get("BDPT_TPU_TILE_R", "256"))
 # (BENCH_NOTES.md "divergence experiments").  Default stays 1; the knob
 # is kept for large-scene experiments where tile unions are far wider.
 SUBTILES = int(_os.environ.get("BDPT_TPU_SUBTILES", "1"))
-assert TILE_R % SUBTILES == 0
+if SUBTILES < 1 or TILE_R % SUBTILES != 0:
+    raise ValueError(
+        f"BDPT_TPU_SUBTILES={SUBTILES} must be a positive divisor of "
+        f"TILE_R={TILE_R}")
 
 
 def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,

@@ -101,7 +101,18 @@ def main():
                                        _auto_chunk(cfg),
                                        jnp.float32(1.0 / cfg.spp))
         np.asarray(w_eye)
-        compile_s = time.perf_counter() - t0
+        warm_s = time.perf_counter() - t0
+        # the warm-up above executed one full chunk after compiling; time
+        # an identical cache-hit dispatch and subtract so compile_s is the
+        # compile alone (ADVICE r03: at lucy scale the chunk is the whole
+        # frame, ~10-15% of warm_s)
+        t0 = time.perf_counter()
+        w_eye, _, _ = _bdpt_step_chunk(scene, jax.random.key(cfg.seed),
+                                       jnp.int32(0), tcfg, 480, 360,
+                                       _auto_chunk(cfg),
+                                       jnp.float32(1.0 / cfg.spp))
+        np.asarray(w_eye)
+        compile_s = warm_s - (time.perf_counter() - t0)
         t0 = time.perf_counter()
         res = render(scene, cfg)
         out = f"artifacts/{scene_name}_bdpt_{spp}.png"

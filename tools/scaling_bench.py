@@ -31,6 +31,7 @@ Writes SCALING_r03.json.  Usage:
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import textwrap
@@ -125,6 +126,9 @@ def run_worker(n, w, h, spp, sp, psum_on=1, pin_cores=None):
         # pin the whole process (XLA pool included) to `pin_cores` cores:
         # with one core per device, the host core budget is exact and the
         # weak-scaling ideal (flat wall time) is actually attainable
+        if shutil.which("taskset") is None:
+            print(f"n={n} SKIPPED: taskset unavailable on this host")
+            return None
         cmd = ["taskset", "-c", "0-%d" % (pin_cores - 1)] + cmd
     p = subprocess.run(
         cmd,
