@@ -45,6 +45,10 @@ GOLDENS = [
     ("cbspheres_microfacet_pt_120x90_32spp_d5_l4",
      "CBspheres_microfacet_al_ag", "pt", 32, 5, 4, False),
     ("bunny_unlit_env_pt_120x90_16spp", "bunny_unlit", "pt", 16, 5, 4, True),
+    ("cbspheres_refract_pt_120x90_32spp_d5_l4", "CBspheres_refract",
+     "pt", 32, 5, 4, False),
+    ("cbspheres_refract_bdpt_120x90_32spp_d5", "CBspheres_refract",
+     "bdpt", 32, 5, 1, False),
 ]
 
 # (fixture tag, scene, flat pixel ids)  — -s 1, depth 5
@@ -88,7 +92,13 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="render into a scratch dir and report block error "
                          "vs the committed goldens instead of rewriting")
+    ap.add_argument("--only", default=None,
+                    help="substring filter: only regenerate goldens whose "
+                         "name contains this (pd fixtures skipped)")
     args = ap.parse_args()
+    goldens = [g for g in GOLDENS
+               if args.only is None or args.only in g[0]]
+    pd_fixtures = PD_FIXTURES if args.only is None else []
 
     run(["bash", os.path.join(HERE, "build.sh"), args.build])
     oracle = os.path.join(args.build, "oracle")
@@ -96,7 +106,7 @@ def main():
     os.makedirs(work, exist_ok=True)
 
     from bidirectional_pathtracing_tpu.scene.dump import dump_scene
-    scenes = {s for _, s, *_ in GOLDENS} | {s for _, s, _ in PD_FIXTURES}
+    scenes = {s for _, s, *_ in goldens} | {s for _, s, _ in pd_fixtures}
     for s in scenes:
         dump_scene(f"{REFERENCE}/dae/sky/{s}.dae",
                    os.path.join(work, s + ".txt"))
@@ -106,7 +116,7 @@ def main():
 
     out_dir = work if args.check else args.out
     failures = []
-    for name, scene, integ, spp, depth, ls, env in GOLDENS:
+    for name, scene, integ, spp, depth, ls, env in goldens:
         prefix = os.path.join(work, name)
         cmd = [oracle, os.path.join(work, scene + ".txt"), W, H, spp, depth,
                prefix, "--integrator", integ, "-l", ls]
@@ -132,7 +142,7 @@ def main():
                 print(f"  {name}[{k}]: block err mean {e.mean():.4f} "
                       f"max {e.max():.4f} {status}")
 
-    for tag, scene, pixels in PD_FIXTURES:
+    for tag, scene, pixels in pd_fixtures:
         prefix = os.path.join(out_dir, tag)
         run([oracle, os.path.join(work, scene + ".txt"), W, H, 1, 5,
              prefix, "--pixels", ",".join(str(p) for p in pixels)])
