@@ -32,6 +32,24 @@ class RenderConfig:
     adaptive_sampling: bool = False         # reference disables for BDPT (bidirection.cpp:516)
     pt_reference_nee: bool = True           # replicate the reference's area-light
                                             # NEE estimator quirk (see ops/lights.py)
+    bdpt_reference_t1_mis: bool = False     # reproduce the reference's t=1 MIS
+                                            # junction defect (prices the light
+                                            # SUBPATH vertex instead of the fresh
+                                            # sample, bidirection.cpp:226; see
+                                            # models/bdpt.py _mis_weight).  Only
+                                            # for reference path replay.
+    pt_mis: bool = False                    # EXTENSION beyond the reference: MIS
+                                            # the PT's NEE with BSDF-sampled
+                                            # emission pickup (power-2 heuristic,
+                                            # pbrt 14.3 style).  The reference PT
+                                            # relies on NEE alone for direct light
+                                            # (pathtracer.cpp:102-165), which
+                                            # effectively never captures specular
+                                            # reflections of lights on near-delta
+                                            # microfacet conductors (huge-f,
+                                            # tiny-probability events); this mode
+                                            # converges there.  Same expectation
+                                            # as the default mode.
 
     # Thin lens (unidirectional only; reference camera_lens.cpp:22-43)
     lens_radius: float = 0.0          # -b

@@ -16,9 +16,12 @@ Port of the *math* of the reference BidirectionalPathTracer
     masks.
   - multiple_importance_sampling_weight (bidirection.cpp:121-293): the
     pdf-ratio walks along both subpaths, power-2 heuristic, with the
-    delta-vertex skip rule (bidirection.cpp:216-219, 284-287).  Like the
-    reference, BSDF::sample_pdf is invoked with a zero wo vector
-    (bidirection.cpp:150 "filled with empty for now").
+    delta-vertex skip rule (bidirection.cpp:216-219, 284-287).  Unlike
+    the reference — which invokes BSDF::sample_pdf with a zero wo vector
+    (bidirection.cpp:150 "filled with empty for now") — every edge is
+    priced with the TRUE arrival direction (identical values for every
+    reference BSDF kind, whose MIS pdfs ignore wo; required for the exact
+    microfacet NDF pdf, which the reference cannot price at all).
   - Russian roulette is disabled (q == 1 everywhere), matching the
     reference's commented-out roulette (bidirection.cpp:87-93).
 
@@ -62,11 +65,12 @@ class Subpath(NamedTuple):
 
 def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
                      init_normal, keys, site: int, nv: int,
-                     first_min_t, first_max_t):
+                     first_min_t, first_max_t, adjoint: bool = False):
     """Random walk producing a Subpath with nv real vertices (1..nv).
 
     keys: per-lane PRNG keys [S]; site: static constant separating the eye
-    and light walks' random streams.
+    and light walks' random streams.  adjoint: light-subpath walk — BSDF
+    values in alpha use the adjoint orientation (ops/bsdf.py sample).
     """
     s = o.shape[0]
 
@@ -93,7 +97,8 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
         # next direction
         o2w = make_coord_space(hit.n)
         w_out = to_local(o2w, -d)
-        bs = bsdf_ops.sample(scene.materials, hit.mat, w_out, u3)
+        bs = bsdf_ops.sample(scene.materials, hit.mat, w_out, u3,
+                             adjoint=adjoint)
         wi_w = normalize(to_world(o2w, bs.wi))
 
         out = (hit_p, hit.n, alpha_i, p_i, hit.mat, alive)
@@ -147,13 +152,17 @@ def _vert(path: Subpath, i: int):
                 p=path.p[:, i], mat=path.mat[:, i], valid=path.valid[:, i])
 
 
-def _sample_pdf_ref(scene, mat, wi_world, n):
-    """bsdf->sample_pdf(wo=empty, wi) in the local frame of n
-    (reference bidirection.cpp:150,189)."""
+def _mis_pdf_local(scene, mat, wo_world, wi_world, n):
+    """BSDF MIS pdf in the local frame of n, with the TRUE arrival
+    direction wo.  For every reference BSDF kind this equals the
+    reference's sample_pdf(wo=empty, wi) convention
+    (bidirection.cpp:150,189) — their MIS pdfs ignore wo — so diffuse /
+    delta scenes replay the reference bitwise; microfacet (which the
+    reference cannot price at all, advanced_bsdf.cpp:144-148) gets the
+    exact NDF pdf (ops/bsdf.py mis_pdf)."""
     o2w = make_coord_space(n)
-    wi = to_local(o2w, wi_world)
-    wo = jnp.zeros_like(wi)
-    return bsdf_ops.sample_pdf(scene.materials, mat, wo, wi)
+    return bsdf_ops.mis_pdf(scene.materials, mat,
+                            to_local(o2w, wo_world), to_local(o2w, wi_world))
 
 
 def _is_delta(scene, mat):
@@ -167,11 +176,13 @@ def _seg(a_pos, b_pos):
     return d / dist[..., None], dist
 
 
-def _pg(scene, prev_pos, prev_n, prev_mat, cur_pos, cur_n):
-    """p * G of sampling cur from prev: BSDF sample_pdf (reference
-    zero-wo convention) times the bidirectional geometry factor."""
+def _pg(scene, prev_pos, prev_n, prev_mat, prev2_pos, cur_pos, cur_n):
+    """p * G of sampling cur from prev, having arrived at prev from
+    prev2: BSDF MIS pdf (true arrival direction) times the bidirectional
+    geometry factor."""
     wi, dist = _seg(prev_pos, cur_pos)
-    p = _sample_pdf_ref(scene, prev_mat, wi, prev_n)
+    wo, _ = _seg(prev_pos, prev2_pos)
+    p = _mis_pdf_local(scene, prev_mat, wo, wi, prev_n)
     g = jnp.abs(jnp.sum(wi * prev_n, axis=-1)
                 * jnp.sum(wi * cur_n, axis=-1)) \
         / jnp.maximum(dist * dist, 1e-12)
@@ -194,21 +205,26 @@ def _mis_tables(scene: Scene, eye: Subpath, light: Subpath | None,
     For interior walk steps the reference recomputes sample_pdf and the
     geometry factor per (s,t) combo (bidirection.cpp:121-293) — but those
     values depend only on the subpaths, so we tabulate:
-      A_e[i]: numerator p*G of sampling eye[i] from eye[i+1]
-      B_e[i]: denominator p*G of sampling eye[i] from eye[i-1] (1 at i=2)
+      A_e[i]: numerator p*G of sampling eye[i] from eye[i+1], arriving at
+              eye[i+1] from eye[i+2] (used for i <= i_eye-2; the
+              i = i_eye-1 step arrives from the connection partner and is
+              combo-specific, computed in _mis_weight)
+      B_e[i]: denominator p*G of sampling eye[i] from eye[i-1], arriving
+              from eye[i-2] (1 at i=2)
       D_e[i]: delta-skip mask for the (eye[i], eye[i-1]) step
     and the light-path analogues (B_l[1] = light v1 area pdf,
-    B_l[2] = light dir_pdf * G).  Only the junction step of each walk
-    remains combo-specific.
+    B_l[2] = light dir_pdf * G).  The junction step of each walk and the
+    junction-adjacent step remain combo-specific.
     """
     s = eye.pos.shape[0]
     nv = eye.pos.shape[1] - 1
     one = jnp.ones((s,))
     t = {"A_e": {}, "B_e": {}, "D_e": {}, "A_l": {}, "B_l": {}, "D_l": {}}
     for i in range(2, nv + 1):
-        if i + 1 <= nv:
+        if i + 2 <= nv:
             t["A_e"][i] = _pg(scene, eye.pos[:, i + 1], eye.n[:, i + 1],
-                              eye.mat[:, i + 1], eye.pos[:, i], eye.n[:, i])
+                              eye.mat[:, i + 1], eye.pos[:, i + 2],
+                              eye.pos[:, i], eye.n[:, i])
         if i == 2 and consistent_camera:
             ci = camera_ops.sample_ray_pdf(scene.camera, eye.pos[:, 2], 1, 1)
             wi, dist = _seg(eye.pos[:, 1], eye.pos[:, 2])
@@ -220,14 +236,15 @@ def _mis_tables(scene: Scene, eye: Subpath, light: Subpath | None,
         else:
             t["B_e"][i] = _pg(
                 scene, eye.pos[:, i - 1], eye.n[:, i - 1], eye.mat[:, i - 1],
-                eye.pos[:, i], eye.n[:, i])
+                eye.pos[:, i - 2], eye.pos[:, i], eye.n[:, i])
         t["D_e"][i] = (_is_delta(scene, eye.mat[:, i])
                        | _is_delta(scene, eye.mat[:, i - 1]))
     if light is not None:
         for i in range(1, nv + 1):
-            if i + 1 <= nv:
+            if i + 2 <= nv:
                 t["A_l"][i] = _pg(scene, light.pos[:, i + 1],
                                   light.n[:, i + 1], light.mat[:, i + 1],
+                                  light.pos[:, i + 2],
                                   light.pos[:, i], light.n[:, i])
             if i == 1:
                 t["B_l"][i] = light.p[:, 1]
@@ -240,20 +257,25 @@ def _mis_tables(scene: Scene, eye: Subpath, light: Subpath | None,
             else:
                 t["B_l"][i] = _pg(scene, light.pos[:, i - 1],
                                   light.n[:, i - 1], light.mat[:, i - 1],
+                                  light.pos[:, i - 2],
                                   light.pos[:, i], light.n[:, i])
             t["D_l"][i] = (_is_delta(scene, light.mat[:, i])
                            | _is_delta(scene, light.mat[:, i - 1]))
     return t
 
 
-def _junction_pg(scene, prev, cur_pos, cur_n, use_dir_pdf: bool):
+def _junction_pg(scene, prev, prev2_pos, cur_pos, cur_n,
+                 use_dir_pdf: bool):
     """Junction-step numerator: pdf of sampling cur from the OTHER
-    subpath's endpoint `prev` (a vertex dict), times geometry."""
+    subpath's endpoint `prev` (a vertex dict, arrived at from prev2_pos),
+    times geometry.  use_dir_pdf: prev is a light/camera source vertex
+    whose directional pdf is stored (prev2_pos unused)."""
     wi, dist = _seg(prev["pos"], cur_pos)
     if use_dir_pdf:
         p = prev["dir_pdf"]
     else:
-        p = _sample_pdf_ref(scene, prev["mat"], wi, prev["n"])
+        wo, _ = _seg(prev["pos"], prev2_pos)
+        p = _mis_pdf_local(scene, prev["mat"], wo, wi, prev["n"])
     g = jnp.abs(jnp.sum(wi * prev["n"], axis=-1)
                 * jnp.sum(wi * cur_n, axis=-1)) \
         / jnp.maximum(dist * dist, 1e-12)
@@ -264,14 +286,32 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
                 eye: Subpath, light: Subpath,
                 light_sample: dict | None, eye_sample: dict | None,
                 eye_on_light_pdfs, tables: dict | None = None,
-                consistent_camera: bool = False):
+                consistent_camera: bool = False,
+                t1_reference: bool = False):
     """multiple_importance_sampling_weight (bidirection.cpp:121-293),
     restructured around precomputed per-subpath tables (_mis_tables): the
     pdf-ratio walks only evaluate the combo-specific junction terms; all
     interior p*G factors come from the tables.  Semantics identical to the
-    reference (validated by the oracle path-replay tests).
+    reference (validated by the oracle path-replay tests) except the t=1
+    fix below.
 
     eye_on_light_pdfs: (found, point_pdf, dir_pdf_fn) for the t=0 case.
+
+    t1_reference: reproduce a REFERENCE DEFECT in the t=1 light-walk
+    junction.  The t=1 estimator connects to a FRESH light point
+    (bidirection.cpp:332-358), but the reference's light walk prices
+    `light_path[i]` — the unrelated light-SUBPATH vertex — in that
+    strategy's alternative-pdf ratio (bidirection.cpp:226: cur_v =
+    light_path[i] even when i_light==1 uses light_sample).  The realized
+    weights for the actual fresh-sampled path then do not partition
+    unity.  On diffuse scenes the error is sub-percent, but on near-delta
+    microfacet conductors the alternative that would dampen a
+    lobe-aligned fresh sample (BSDF-sampling it, NDF pdf ~1e2) is priced
+    at the wrong point, so w(s,1) stays ~1 instead of ~1e-3: measured r04
+    on CBspheres_microfacet_al_ag, unsuppressed 500x fireflies and a ~2x
+    bright limb block versus three converging referees (hemisphere-PT,
+    MIS-PT, and BDPT's own (3,0) family).  Default False = price the
+    fresh point (Veach-correct); True only for reference path replay.
     """
     s = eye.pos.shape[0]
     if tables is None:
@@ -279,6 +319,13 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
                              consistent_camera=consistent_camera)
     w_inv = jnp.ones((s,))
     found, eol_point_pdf, eol_dir_pdf_fn = eye_on_light_pdfs
+
+    # positions the junction-adjacent steps arrive from (the other
+    # subpath's endpoint for this combo)
+    if i_light >= 1:
+        light_end_pos = (light_sample["pos"] if i_light == 1
+                         else light.pos[:, i_light])
+    eye_end_pos = (eye_sample["pos"] if i_eye == 1 else eye.pos[:, i_eye])
 
     # --- eye-path walk (i from i_eye down to 2) ---------------------------
     ratio = jnp.ones((s,))
@@ -288,7 +335,8 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
                 nom = jnp.where(found, eol_point_pdf, jnp.nan)
             else:
                 prev = light_sample if i_light == 1 else _vert(light, i_light)
-                nom = _junction_pg(scene, prev, eye.pos[:, i], eye.n[:, i],
+                nom = _junction_pg(scene, prev, light.pos[:, i_light - 1],
+                                   eye.pos[:, i], eye.n[:, i],
                                    use_dir_pdf=(i_light == 1))
         elif i == i_eye - 1 and i_light == 0:
             # the on-light vertex emits toward eye[i]: light dir pdf * G
@@ -297,6 +345,12 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
                         * jnp.sum(wi * eye.n[:, i], axis=-1)) \
                 / jnp.maximum(dist * dist, 1e-12)
             nom = eol_dir_pdf_fn(wi) * g
+        elif i == i_eye - 1:
+            # alternative samples eye[i] from eye[i+1], which it reached
+            # FROM the light-side endpoint of this combo
+            nom = _pg(scene, eye.pos[:, i + 1], eye.n[:, i + 1],
+                      eye.mat[:, i + 1], light_end_pos,
+                      eye.pos[:, i], eye.n[:, i])
         else:
             nom = tables["A_e"][i]
         ratio = ratio * nom / jnp.maximum(tables["B_e"][i], 1e-20)
@@ -307,11 +361,29 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
     for i in range(i_light, 0, -1):
         if i == i_light:
             prev = eye_sample if i_eye == 1 else _vert(eye, i_eye)
-            nom = _junction_pg(scene, prev, light.pos[:, i], light.n[:, i],
+            if i_light == 1 and not t1_reference:
+                # the t=1 path's light vertex IS the fresh sample; price it
+                cur_pos, cur_n = light_sample["pos"], light_sample["n"]
+            else:
+                cur_pos, cur_n = light.pos[:, i], light.n[:, i]
+            nom = _junction_pg(scene, prev, eye.pos[:, i_eye - 1],
+                               cur_pos, cur_n,
                                use_dir_pdf=(i_eye <= 1))
+        elif i == i_light - 1:
+            # alternative samples light[i] from light[i+1], reached FROM
+            # the eye-side endpoint of this combo
+            nom = _pg(scene, light.pos[:, i + 1], light.n[:, i + 1],
+                      light.mat[:, i + 1], eye_end_pos,
+                      light.pos[:, i], light.n[:, i])
         else:
             nom = tables["A_l"][i]
-        ratio = ratio * nom / jnp.maximum(tables["B_l"][i], 1e-20)
+        if i == 1 and i_light == 1 and not t1_reference:
+            # ... and divide by the fresh sample's own area pdf (differs
+            # from the subpath's B_l[1] when lights have unequal areas)
+            denom = light_sample["p"]
+        else:
+            denom = tables["B_l"][i]
+        ratio = ratio * nom / jnp.maximum(denom, 1e-20)
         w_inv = w_inv + jnp.where(tables["D_l"][i], 0.0, ratio * ratio)
 
     w = 1.0 / w_inv
@@ -406,7 +478,8 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
         point_pdf = le.point_pdf / nl_lights
         light = _prepare_subpath(
             scene, le.o, le.d, jnp.maximum(point_pdf, 1e-12), le.dir_pdf,
-            le.radiance, le.normal, keys, 40, nv, EPS_F, INF_D)
+            le.radiance, le.normal, keys, 40, nv, EPS_F, INF_D,
+            adjoint=True)
         light_valid_root = le.point_pdf > 0
         light = light._replace(
             valid=light.valid & light_valid_root[:, None])
@@ -642,7 +715,8 @@ def _estimate_radiance(scene: Scene, i_eye: int, i_light: int,
                     (eol[0], eol[1], eol[2]) if eol is not None
                     else (jnp.zeros((s,), bool), jnp.zeros((s,)),
                           lambda _: jnp.zeros((s,))),
-                    tables=tables)
+                    tables=tables,
+                    t1_reference=cfg.bdpt_reference_t1_mis)
     ill = jnp.where(big[:, None], contrib * w[:, None], 0.0)
     ill = jnp.where(jnp.isfinite(ill), ill, 0.0)
     return ill, splat_xy, splat_mask

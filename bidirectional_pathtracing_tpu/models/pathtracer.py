@@ -41,14 +41,22 @@ from bidirectional_pathtracing_tpu.ops.intersect import (
 from bidirectional_pathtracing_tpu.scene.types import Scene
 
 
-def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, keys, cfg: RenderConfig):
+def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, keys, cfg: RenderConfig,
+         mis: bool = False):
     """estimate_direct_lighting_importance for a wavefront.
 
     Averages cfg.light_samples NEE samples per light and sums over lights
     (pathtracer.cpp:121-156).  Delta lights are deterministic so averaging
     identical samples reproduces the reference's single-sample rule.
     keys: per-lane PRNG keys [S].
+
+    mis=True (cfg.pt_mis interior vertices): area-light samples carry the
+    power-2 weight against the BSDF-sampling strategy that could reach the
+    same emissive surface (the complementary weight is applied to the
+    BSDF-sampled emission pickup in trace_radiance); non-area lights are
+    NEE-only strategies and keep weight 1.
     """
+    from bidirectional_pathtracing_tpu.scene.types import LIGHT_AREA
     nl = light_ops.num_lights(scene.lights)
     if nl == 0 and scene.envmap is None:
         return jnp.zeros_like(hit_p)
@@ -70,6 +78,12 @@ def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, keys, cfg: RenderConfig):
             blocked = scene_occluded(scene, hit_p, s.wi, EPS_F, max_t)
             cos = jnp.abs(jnp.sum(s.wi * hit_n, axis=-1))
             contrib = (s.radiance * f * (cos / jnp.maximum(s.pdf, 1e-12))[..., None])
+            if mis:
+                pdf_b = bsdf_ops.mis_pdf(scene.materials, mid, w_out, wi)
+                w = s.pdf * s.pdf / jnp.maximum(
+                    s.pdf * s.pdf + pdf_b * pdf_b, 1e-20)
+                is_area = scene.lights.kind[li] == LIGHT_AREA
+                contrib = contrib * jnp.where(is_area, w, 1.0)[..., None]
             acc += jnp.where(blocked[..., None], 0.0, contrib)
         total += acc / cfg.light_samples
 
@@ -90,6 +104,40 @@ def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, keys, cfg: RenderConfig):
             acc += jnp.where(blocked[..., None], 0.0, contrib)
         total += acc / cfg.light_samples
     return total
+
+
+def _nee_pdf_toward_hit(scene: Scene, wi_w, t, p_hit, cfg: RenderConfig):
+    """Solid-angle pdf with which _nee (same quirk configuration) would
+    have generated direction wi_w, given a BSDF-sampled ray hit the point
+    p_hit at distance t.  Returns (pdf, on_back): pdf is 0 when the hit
+    lies on no area light (then BSDF sampling is the only strategy);
+    on_back marks back-side hits of an area light, whose NEE radiance is
+    defined 0 (light.cpp:216 cos test) so the pickup is suppressed to
+    keep both strategies integrating the same function."""
+    from bidirectional_pathtracing_tpu.scene.types import LIGHT_AREA
+    lights = scene.lights
+    nl = light_ops.num_lights(lights)
+    s = wi_w.shape[:-1]
+    pdf = jnp.zeros(s)
+    on_back = jnp.zeros(s, bool)
+    found = jnp.zeros(s, bool)
+    sq = t * t
+    for li in range(nl):
+        idx = jnp.full(s, li, jnp.int32)
+        contains = light_ops.contain_point(lights, idx, p_hit)
+        is_area = lights.kind[li] == LIGHT_AREA
+        cos_l = jnp.sum(wi_w * lights.direction[li], axis=-1)
+        area = lights.area[li]
+        if cfg.pt_reference_nee:
+            pdf_li = sq / jnp.maximum(
+                area * jnp.abs(cos_l) * jnp.maximum(t, 1e-10), 1e-12)
+        else:
+            pdf_li = sq / jnp.maximum(area * jnp.abs(cos_l), 1e-12)
+        new = contains & is_area & ~found
+        pdf = jnp.where(new, pdf_li, pdf)
+        on_back = on_back | (new & (cos_l >= 0))
+        found = found | (contains & is_area)
+    return pdf, on_back
 
 
 def _nee_hemisphere(scene: Scene, hit_p, hit_n, w_out_w, mid, keys,
@@ -156,7 +204,8 @@ def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig,
             direct = _nee_hemisphere(scene, hit_p, hit_n, -ray_d, mid,
                                      kb, cfg)
         else:
-            direct = _nee(scene, hit_p, hit_n, -ray_d, mid, kb, cfg)
+            direct = _nee(scene, hit_p, hit_n, -ray_d, mid, kb, cfg,
+                          mis=cfg.pt_mis)
         L += jnp.where((alive & ~delta)[..., None], throughput * direct, 0.0)
         rays += jnp.sum((alive & ~delta).astype(jnp.float32)) * nl_shadow
 
@@ -177,10 +226,24 @@ def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig,
         cos = jnp.abs(jnp.sum(wi_w * hit_n, axis=-1))
         weight = bs.f * (cos / bs.pdf)[..., None] * rr_scale
 
-        # delta vertices add the child emission (pathtracer.cpp:240-242)
+        # delta vertices add the child emission (pathtracer.cpp:240-242);
+        # pt_mis extends the pickup to ALL vertices with the power-2
+        # complement of the NEE weight (delta keeps weight 1: NEE cannot
+        # see deltas, so BSDF sampling is the only strategy there)
         child_emit = bsdf_ops.emission(scene.materials, nxt.mat)
-        L += jnp.where((cont & nxt.valid & delta)[..., None],
-                       throughput * weight * child_emit, 0.0)
+        if cfg.pt_mis and not cfg.direct_hemisphere_sample:
+            p_hit = hit_p + nxt.t[..., None] * wi_w
+            pdf_l, on_back = _nee_pdf_toward_hit(scene, wi_w, nxt.t,
+                                                 p_hit, cfg)
+            w_b = bs.pdf * bs.pdf / jnp.maximum(
+                bs.pdf * bs.pdf + pdf_l * pdf_l, 1e-20)
+            w_b = jnp.where(delta, 1.0, jnp.where(on_back, 0.0, w_b))
+            L += jnp.where((cont & nxt.valid)[..., None],
+                           throughput * weight * child_emit
+                           * w_b[..., None], 0.0)
+        else:
+            L += jnp.where((cont & nxt.valid & delta)[..., None],
+                           throughput * weight * child_emit, 0.0)
 
         throughput = jnp.where(cont[..., None], throughput * weight,
                                throughput)

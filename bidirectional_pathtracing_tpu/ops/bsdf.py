@@ -147,11 +147,22 @@ def eval_f(materials: Materials, mid, wo, wi):
     return jnp.where((mid >= 0)[..., None], f, 0.0)
 
 
-def sample(materials: Materials, mid, wo, u) -> BSDFSample:
+def sample(materials: Materials, mid, wo, u, adjoint: bool = False) -> BSDFSample:
     """BSDF::sample_f for a wavefront.
 
     u: uniforms [S,3] — u[...,0:2] drive direction sampling, u[...,2] the
     glass reflect/refract coin flip (coin_flip(R), advanced_bsdf.cpp:225).
+
+    adjoint: set for LIGHT-subpath walks, where `wo` is the arrival
+    direction from the light side.  Every reference BSDF value is
+    symmetric in (wo, wi) — diffuse, and the delta kinds whose f the
+    reference defines pairwise — EXCEPT microfacet, whose conductor
+    Fresnel uses the wi slot only (advanced_bsdf.cpp:120: F(wi)).  The
+    path integrand needs the Fresnel of the light-side direction, so the
+    adjoint evaluation swaps the microfacet f's arguments (Veach 5.2
+    adjoint BSDF); sampling pdfs/directions are unchanged.  Without this
+    the light-walk throughput carries F(toward-camera) and BDPT diverges
+    from PT on microfacet scenes.
     """
     m = gather(materials, mid)
     u2 = u[..., 0:2]
@@ -205,7 +216,9 @@ def sample(materials: Materials, mid, wo, u) -> BSDFSample:
     wi_mf = jnp.where(mf_ok[..., None], wi_mf,
                       jnp.array([0.0, 0.0, 1.0]))
     pdf_mf = jnp.where(mf_ok, jnp.maximum(pdf_mf, 1e-12), 1.0)
-    f_mf = jnp.where(mf_ok[..., None], _microfacet_f(m, wo, wi_mf), 0.0)
+    f_mf_val = (_microfacet_f(m, wi_mf, wo) if adjoint
+                else _microfacet_f(m, wo, wi_mf))
+    f_mf = jnp.where(mf_ok[..., None], f_mf_val, 0.0)
 
     kind = m.kind
     wi = wi_cos
@@ -249,21 +262,13 @@ def sample_pdf(materials: Materials, mid, wo, wi):
     matching the reference's eta convention when invoked from MIS with an
     empty wo: eta = ior).
 
-    MICROFACET: the cosine-hemisphere pdf as a wo-INDEPENDENT MIS proxy.
-    The reference's MIS walk prices every path edge with sample_pdf(wo=0)
-    (bidirection.cpp:150 "filled with empty for now") — fine for its
-    wo-independent pdfs, but the true NDF pdf needs the half vector, and
-    with wo=0 it degenerates to 0, collapsing every weight to 1 and
-    breaking the partition of unity (sum over strategies = #strategies).
-    MIS weights stay unbiased for ANY consistent per-edge pdf function
-    (Veach 9.2.2 — the combined estimator partitions unity as long as all
-    strategies price an edge identically), so a proxy that ignores wo is
-    exact-partition by construction; it only costs some variance-optimality
-    on sharp lobes.  The true NDF pdf still drives importance sampling in
-    sample() (where wo IS known).  Pinned by
-    tests/test_mis.py::test_mis_weights_sum_to_one_microfacet and the
-    BDPT==PT convergence test on CBspheres_microfacet
-    (the reference simply asserts, advanced_bsdf.cpp:144-148).
+    MICROFACET: the cosine-hemisphere pdf as a wo-INDEPENDENT proxy —
+    this function keeps the reference's zero-wo calling contract
+    (bidirection.cpp:150 "filled with empty for now"), under which the
+    true NDF pdf is uncomputable (it needs the half vector).  BDPT MIS
+    does NOT use this for pricing: it calls mis_pdf() below with the true
+    arrival direction (the proxy was measured +22% bright under BDPT —
+    support mismatch with the NDF sampler; see mis_pdf's docstring).
     """
     m = gather(materials, mid)
     kind = m.kind
@@ -281,4 +286,31 @@ def sample_pdf(materials: Materials, mid, wo, wi):
 
     pdf = jnp.where(kind == MAT_MICROFACET,
                     samplers.cosine_hemisphere_pdf(jnp.abs(wi)), pdf)
+    return jnp.where(mid >= 0, pdf, 0.0)
+
+
+def mis_pdf(materials: Materials, mid, wo, wi):
+    """MIS edge pdf with the TRUE arrival direction wo.
+
+    Identical to sample_pdf for every reference BSDF kind (their MIS pdfs
+    are wo-independent: cosine / 1 / Schlick-R), but MICROFACET uses the
+    true Beckmann NDF pdf p(h)/(4|wi.h|), zero outside the sampler's
+    support (wo.z>0 and wi.z>0, mirroring sample()'s mf_ok gate).  The
+    reference cannot do this — its MIS walk only has the edge direction,
+    so it calls sample_pdf(wo=empty) (bidirection.cpp:150); our vectorized
+    walk knows every path vertex, so each strategy's pdf product is priced
+    with the exact pdfs that strategy would sample with — the Veach-exact
+    weighting.  A wo-independent cosine proxy was tried first and is
+    provably partition-preserving but measured +22% bright on
+    CBspheres_microfacet (support mismatch: the proxy prices
+    below-horizon / through-surface edges the NDF sampler never takes, and
+    each strategy's own denominator then disagrees with how alternatives
+    price it).  Pinned by tests/test_mis.py microfacet partition cases and
+    tests/test_microfacet.py::test_microfacet_bdpt_matches_pt.
+    """
+    m = gather(materials, mid)
+    kind = m.kind
+    pdf = sample_pdf(materials, mid, jnp.zeros_like(wi), wi)
+    pdf = jnp.where(kind == MAT_MICROFACET,
+                    _microfacet_pdf(m.roughness, wo, wi), pdf)
     return jnp.where(mid >= 0, pdf, 0.0)

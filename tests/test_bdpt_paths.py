@@ -122,8 +122,11 @@ def test_replay_reference_paths(dump_path):
     prefix = os.path.basename(dump_path).rsplit("_", 1)[0]
     scene_dae = SCENE_FOR_PREFIX[prefix]
     scene, aux = load_scene(scene_dae, W, H)
+    # bdpt_reference_t1_mis: the dumps record the reference's t=1 MIS
+    # junction defect (see models/bdpt.py _mis_weight docstring); replay
+    # must reproduce it to pin the rest of the math
     cfg = RenderConfig(spp=1, max_ray_depth=MAX_DEPTH, width=W, height=H,
-                       integrator="bdpt")
+                       integrator="bdpt", bdpt_reference_t1_mis=True)
     eye_d, light_d, ls_d, es_d, est_d = _parse_dump(dump_path)
     m = _dump_material_map(scene_dae, aux)
     nv = MAX_DEPTH + 1
