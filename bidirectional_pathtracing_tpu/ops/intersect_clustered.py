@@ -40,7 +40,7 @@ from bidirectional_pathtracing_tpu.core.math import INF_D
 from bidirectional_pathtracing_tpu.ops.intersect import (
     Hit, sphere_intersect_batch, _ceil_to)
 from bidirectional_pathtracing_tpu.scene.clusters import (
-    ClusteredTris, BLOCK_SIZE)
+    ClusteredTris, PairedClusteredTris, BLOCK_SIZE)
 
 # Rays per kernel tile.  Trade-off measured on CBbunny (BENCH_NOTES.md):
 # coherent camera rays get faster with LARGER tiles (the beam touches a
@@ -71,7 +71,7 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
                       t_ref, idx_ref,
                       bt_ref, bi_ref, tri_scr, sems,
                       *, n_blocks, block_size, n_clusters, tc,
-                      any_hit=False):
+                      any_hit=False, paired=False, n_subs=0):
     o = [rays_ref[i, :] for i in range(3)]          # [TILE_R]
     d = [rays_ref[3 + i, :] for i in range(3)]
     min_t = rays_ref[6, :]
@@ -92,9 +92,11 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
         jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0))
     srl = jax.lax.shift_right_logical
 
-    def mt_half(c, vc, e1, e2, h):
+    def mt_half(c, vc, e1, e2, h, io=None):
         """Möller–Trumbore one streamed cluster against sub-tile h.
-        vc/e1/e2 are the cluster's [tc, 1] columns (shared prep)."""
+        vc/e1/e2 are the cluster's [n, 1] columns (shared prep); io the
+        matching absolute-row iota (defaults to the full-cluster one)."""
+        io = iota if io is None else io
         sl = slice(h * hw, (h + 1) * hw)
         oh = [ok[sl] for ok in o]
         dh = [dk[sl] for dk in d]
@@ -120,7 +122,7 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
         tm = jnp.where(ok, t, INF_D)
         cmin = jnp.min(tm, axis=0)                   # [hw]
         hit_iota = jnp.where(tm <= cmin[None, :],
-                             iota + (c * tc).astype(jnp.float32), INF_D)
+                             io + (c * tc).astype(jnp.float32), INF_D)
         cidx = jnp.min(hit_iota, axis=0)
         closer = cmin < best_t
         bi_ref[0, sl] = jnp.where(closer, cidx, bi_ref[0, sl])
@@ -133,21 +135,26 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
         else:
             bt_ref[0, sl] = jnp.where(closer, cmin, best_t)
 
-    def mt_cluster(c, slot, cl, sub_masks):
+    def mt_cluster(c, slot, cl, sub_masks, lane_lo=0, lane_n=None):
         """Shared per-cluster prep, then MT only on sub-tiles whose
         survivor bit for cluster-bit cl is set (all sub-tiles when
-        SUBTILES == 1: the caller only reaches set any-bits)."""
-        v = [tri_scr[slot, k, :] for k in range(9)]  # [tc]
-        vc = [vk[:, None] for vk in v]               # [tc, 1]
+        SUBTILES == 1: the caller only reaches set any-bits).
+
+        (lane_lo, lane_n): paired layout's static half-row window — MT
+        runs on the surviving sub-cluster's lanes only."""
+        n = tc if lane_n is None else lane_n
+        v = [tri_scr[slot, k, lane_lo:lane_lo + n] for k in range(9)]
+        vc = [vk[:, None] for vk in v]               # [n, 1]
         e1 = [vc[3 + k] - vc[k] for k in range(3)]
         e2 = [vc[6 + k] - vc[k] for k in range(3)]
+        io = iota[lane_lo:lane_lo + n]               # absolute row values
         if SUBTILES == 1:
-            mt_half(c, vc, e1, e2, 0)
+            mt_half(c, vc, e1, e2, 0, io)
             return
         for h in range(SUBTILES):
             @pl.when((srl(sub_masks[h], cl) & 1) != 0)
             def _mt_h(h=h):
-                mt_half(c, vc, e1, e2, h)
+                mt_half(c, vc, e1, e2, h, io)
 
     def block_body(b, _):
         # level 1: merged block AABB, 6 scalar reads + one vector slab
@@ -180,10 +187,19 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
                     & (tmin <= limit[None, :]))
             # never stream padding slots past the real cluster count (their
             # +/-inf sentinel bounds pass the slab test; a DMA would read
-            # out of bounds)
-            slot_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (block_size, 1), 0) + base
-            valid = slot_ids < n_clusters
+            # out of bounds).  Paired layout: row r < 64 is sub-cluster
+            # 2*(64b+r) ("A"), row r >= 64 is 2*(64b+r-64)+1 ("B").
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (block_size, 1), 0)
+            if paired:
+                hb = block_size // 2
+                base_pair = b * hb
+                sub_id = jnp.where(
+                    row_ids < hb, 2 * (base_pair + row_ids),
+                    2 * (base_pair + row_ids - hb) + 1)
+                valid = sub_id < n_subs
+            else:
+                valid = (row_ids + base) < n_clusters
             sub_flags = [jnp.any(chit[:, h * hw:(h + 1) * hw], axis=1,
                                  keepdims=True) & valid
                          for h in range(SUBTILES)]
@@ -191,87 +207,131 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
             for sf in sub_flags[1:]:
                 flags = flags | sf
 
-            # level 3: stream surviving clusters (bits in scalar registers).
-            # Per word, ALL surviving DMAs are issued before the first wait
-            # (32 scratch slots, per-slot semaphores), so HBM latency hides
-            # behind the Möller–Trumbore of earlier slots.
-            for w in range(block_size // 32):
-                fw = flags[w * 32:(w + 1) * 32]
-                mask = jnp.sum(jnp.where(fw, pow2, jnp.int32(0)))
-                sub_masks = [jnp.sum(jnp.where(sf[w * 32:(w + 1) * 32],
-                                               pow2, jnp.int32(0)))
-                             for sf in sub_flags] if SUBTILES > 1 else None
+            # Lowest set bit (m & -m is an exact power of two;
+            # bit 31 = INT_MIN survives the two's-complement round
+            # trip) -> index via 5 integer mask tests (Mosaic has
+            # no scalar bitcast, so no f32-exponent trick).
+            def bit_index(m):
+                low = m & -m
+                idx = jnp.int32(0)
+                for step, cmask in ((16, -65536),        # 0xFFFF0000
+                                    (8, -16711936),      # 0xFF00FF00
+                                    (4, -252645136),     # 0xF0F0F0F0
+                                    (2, -858993460),     # 0xCCCCCCCC
+                                    (1, -1431655766)):   # 0xAAAAAAAA
+                    idx += jnp.where(
+                        (low & jnp.int32(cmask)) != 0, step, 0)
+                return idx
 
-                @pl.when(mask != jnp.int32(0))
-                def _scan_word(mask=mask, w=w, sub_masks=sub_masks):
-                    def dma(cl):
-                        return pltpu.make_async_copy(
-                            tris_hbm.at[base + w * 32 + cl],
-                            tri_scr.at[cl], sems.at[cl])
+            def scan_word(mask, row_base, mt_fn):
+                """Stream + MT every set bit of `mask`.  ALL surviving
+                DMAs are issued before the first wait (32 scratch slots,
+                per-slot semaphores), so HBM latency hides behind the
+                Möller–Trumbore of earlier slots.
 
-                    # Sparse masks (coherent camera tiles survive only a
-                    # handful of clusters) iterate set bits only — 2.8x on
-                    # CBbunny primaries vs scanning all 32 slots.  Dense
-                    # masks (incoherent bounce tiles) keep the fixed scan:
-                    # per-bit index extraction costs more than it saves
-                    # once most slots are live.  popcount picks the path.
-                    m32 = mask
-                    m32 = m32 - (srl(m32, 1) & jnp.int32(0x55555555))
-                    m32 = ((m32 & jnp.int32(0x33333333))
-                           + (srl(m32, 2) & jnp.int32(0x33333333)))
-                    m32 = (m32 + srl(m32, 4)) & jnp.int32(0x0F0F0F0F)
-                    pc = srl(m32 * jnp.int32(0x01010101), 24)
+                Sparse masks (coherent camera tiles survive only a
+                handful of clusters) iterate set bits only — 2.8x on
+                CBbunny primaries vs scanning all 32 slots.  Dense masks
+                (incoherent bounce tiles) keep the fixed scan: per-bit
+                index extraction costs more than it saves once most slots
+                are live.  popcount picks the path."""
+                def dma(cl):
+                    return pltpu.make_async_copy(
+                        tris_hbm.at[row_base + cl],
+                        tri_scr.at[cl], sems.at[cl])
 
-                    # Lowest set bit (m & -m is an exact power of two;
-                    # bit 31 = INT_MIN survives the two's-complement round
-                    # trip) -> index via 5 integer mask tests (Mosaic has
-                    # no scalar bitcast, so no f32-exponent trick).
-                    def bit_index(m):
-                        low = m & -m
-                        idx = jnp.int32(0)
-                        for step, cmask in ((16, -65536),        # 0xFFFF0000
-                                            (8, -16711936),      # 0xFF00FF00
-                                            (4, -252645136),     # 0xF0F0F0F0
-                                            (2, -858993460),     # 0xCCCCCCCC
-                                            (1, -1431655766)):   # 0xAAAAAAAA
-                            idx += jnp.where(
-                                (low & jnp.int32(cmask)) != 0, step, 0)
-                        return idx
+                m32 = mask
+                m32 = m32 - (srl(m32, 1) & jnp.int32(0x55555555))
+                m32 = ((m32 & jnp.int32(0x33333333))
+                       + (srl(m32, 2) & jnp.int32(0x33333333)))
+                m32 = (m32 + srl(m32, 4)) & jnp.int32(0x0F0F0F0F)
+                pc = srl(m32 * jnp.int32(0x01010101), 24)
 
-                    @pl.when(pc <= jnp.int32(12))
-                    def _sparse():
-                        def start_body(m):
-                            dma(bit_index(m)).start()
-                            return m & (m - 1)
+                @pl.when(pc <= jnp.int32(12))
+                def _sparse():
+                    def start_body(m):
+                        dma(bit_index(m)).start()
+                        return m & (m - 1)
 
-                        def mt_body(m):
-                            cl = bit_index(m)
+                    def mt_body(m):
+                        cl = bit_index(m)
+                        dma(cl).wait()
+                        mt_fn(cl)
+                        return m & (m - 1)
+
+                    nz = lambda m: m != jnp.int32(0)
+                    jax.lax.while_loop(nz, start_body, mask)
+                    jax.lax.while_loop(nz, mt_body, mask)
+
+                @pl.when(pc > jnp.int32(12))
+                def _dense():
+                    def start_body(cl, __):
+                        @pl.when((srl(mask, cl) & 1) != 0)
+                        def _start():
+                            dma(cl).start()
+                        return __
+
+                    def mt_body(cl, __):
+                        @pl.when((srl(mask, cl) & 1) != 0)
+                        def _mt():
                             dma(cl).wait()
-                            mt_cluster(base + w * 32 + cl, cl, cl, sub_masks)
-                            return m & (m - 1)
+                            mt_fn(cl)
+                        return __
 
-                        nz = lambda m: m != jnp.int32(0)
-                        jax.lax.while_loop(nz, start_body, mask)
-                        jax.lax.while_loop(nz, mt_body, mask)
+                    jax.lax.fori_loop(0, 32, start_body, 0)
+                    jax.lax.fori_loop(0, 32, mt_body, 0)
 
-                    @pl.when(pc > jnp.int32(12))
-                    def _dense():
-                        def start_body(cl, __):
-                            @pl.when((srl(mask, cl) & 1) != 0)
-                            def _start():
-                                dma(cl).start()
-                            return __
+            if paired:
+                # level 3, paired: words of 32 PAIRS; a pair streams as one
+                # 128-lane DMA row, but MT runs only on surviving halves
+                hb = block_size // 2
+                base_pair = b * hb
+                for w in range(hb // 32):
+                    fa = flags[w * 32:(w + 1) * 32]
+                    fb = flags[hb + w * 32:hb + (w + 1) * 32]
+                    maskA = jnp.sum(jnp.where(fa, pow2, jnp.int32(0)))
+                    maskB = jnp.sum(jnp.where(fb, pow2, jnp.int32(0)))
+                    mask = maskA | maskB
 
-                        def mt_body(cl, __):
-                            @pl.when((srl(mask, cl) & 1) != 0)
-                            def _mt():
-                                dma(cl).wait()
-                                mt_cluster(base + w * 32 + cl, cl, cl,
-                                           sub_masks)
-                            return __
+                    @pl.when(mask != jnp.int32(0))
+                    def _scan_word_p(maskA=maskA, maskB=maskB, mask=mask,
+                                     w=w):
+                        def mt_pair(cl):
+                            c = base_pair + w * 32 + cl
+                            a_on = (srl(maskA, cl) & 1) != 0
+                            b_on = (srl(maskB, cl) & 1) != 0
 
-                        jax.lax.fori_loop(0, 32, start_body, 0)
-                        jax.lax.fori_loop(0, 32, mt_body, 0)
+                            @pl.when(a_on & b_on)
+                            def _full():
+                                mt_cluster(c, cl, cl, None)
+
+                            @pl.when(a_on & ~b_on)
+                            def _half_a():
+                                mt_cluster(c, cl, cl, None, 0, tc // 2)
+
+                            @pl.when(b_on & ~a_on)
+                            def _half_b():
+                                mt_cluster(c, cl, cl, None, tc // 2,
+                                           tc // 2)
+
+                        scan_word(mask, base_pair + w * 32, mt_pair)
+            else:
+                # level 3: stream surviving clusters (bits in scalars)
+                for w in range(block_size // 32):
+                    fw = flags[w * 32:(w + 1) * 32]
+                    mask = jnp.sum(jnp.where(fw, pow2, jnp.int32(0)))
+                    sub_masks = [
+                        jnp.sum(jnp.where(sf[w * 32:(w + 1) * 32],
+                                          pow2, jnp.int32(0)))
+                        for sf in sub_flags] if SUBTILES > 1 else None
+
+                    @pl.when(mask != jnp.int32(0))
+                    def _scan_word(mask=mask, w=w, sub_masks=sub_masks):
+                        def mt_one(cl):
+                            mt_cluster(base + w * 32 + cl, cl, cl,
+                                       sub_masks)
+
+                        scan_word(mask, base + w * 32, mt_one)
 
         return _
 
@@ -302,10 +362,16 @@ def tri_closest_hit_clustered(clusters: ClusteredTris, o, d, min_t, max_t,
     ])  # [8, rp]
 
     tc = clusters.chunk
+    paired = isinstance(clusters, PairedClusteredTris)
+    if paired and SUBTILES > 1:
+        raise ValueError("BDPT_TPU_SUBTILES>1 is not supported with the "
+                         "paired sub-cluster layout (BDPT_TPU_SUBCLUSTERS)")
     kernel = functools.partial(
         _clustered_kernel,
         n_blocks=clusters.n_blocks, block_size=BLOCK_SIZE,
-        n_clusters=clusters.n_clusters, tc=tc, any_hit=any_hit)
+        n_clusters=0 if paired else clusters.n_clusters,
+        tc=tc, any_hit=any_hit, paired=paired,
+        n_subs=clusters.n_subs if paired else 0)
 
     t, idx = pl.pallas_call(
         kernel,

@@ -33,10 +33,18 @@ import numpy as np
 # triangles per cluster (= DMA block lane dim).  Must stay a multiple of
 # the 128-lane VMEM tile: Mosaic rejects HBM->VMEM DMA slices with a
 # narrower lane extent (measured r03: CLUSTER_SIZE=64 fails to compile
-# with a tpu.memref_slice diagnostic), so finer-grained streaming would
-# need a packed two-subclusters-per-row layout, not a smaller chunk.
+# with a tpu.memref_slice diagnostic).  Finer-grained streaming is the
+# PAIRED layout below (r03 VERDICT #4): 64-triangle BVH leaves packed two
+# per 128-lane row, each with its own AABB, so the kernel can run
+# Möller–Trumbore on a surviving half-row only.
 CLUSTER_SIZE = 128
-BLOCK_SIZE = 128     # clusters per block (= cluster-bounds lane alignment)
+SUB_SIZE = 64        # triangles per sub-cluster in the paired layout
+BLOCK_SIZE = 128     # cluster (or sub-cluster) bound rows per block
+
+import os as _os
+
+# Paired sub-cluster layout knob (A/B measured on chip, BENCH_NOTES.md).
+SUBCLUSTERS = _os.environ.get("BDPT_TPU_SUBCLUSTERS", "0") != "0"
 
 
 class ClusteredTris(NamedTuple):
@@ -62,17 +70,48 @@ class ClusteredTris(NamedTuple):
         return self.tris.shape[2]
 
 
+class PairedClusteredTris(NamedTuple):
+    """Paired sub-cluster layout (BDPT_TPU_SUBCLUSTERS=1).
+
+    S sub-clusters of <= SUB_SIZE triangles (64-leaf BVH cut); pair p
+    packs subs (2p, 2p+1) into one 128-lane HBM row so DMA stays
+    lane-legal while Möller–Trumbore can run on a surviving half only.
+    Block b covers pairs [64b, 64b+64); its 128 `cluster_b` bound rows are
+    laid out A-half-first — row r < 64 is sub 2*(64b+r) ("A"), row
+    r >= 64 is sub 2*(64b+r-64)+1 ("B") — so the kernel's per-word A/B
+    bitmasks pack from CONTIGUOUS flag slices.
+    """
+
+    block_b: "jnp.ndarray"     # f32 [NBpad, 8]
+    cluster_b: "jnp.ndarray"   # f32 [8, NB*128] sub-cluster bounds, A/B rows
+    tris: "jnp.ndarray"        # f32 [P, 16, 128]: lanes 0:64 sub A, 64: sub B
+    pad2global: "jnp.ndarray"  # int32 [P*128] global tri id or -1
+    sub_marker: "jnp.ndarray"  # f32 [S, 0] zero-byte shape carrier: S = #subs
+
+    @property
+    def n_pairs(self) -> int:
+        return self.tris.shape[0]
+
+    @property
+    def n_subs(self) -> int:
+        return self.sub_marker.shape[0]
+
+    @property
+    def n_blocks(self) -> int:
+        return -(-self.tris.shape[0] // (BLOCK_SIZE // 2))
+
+    @property
+    def chunk(self) -> int:
+        return self.tris.shape[2]
+
+
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def build_clusters(geom, cluster_size: int = CLUSTER_SIZE,
-                   block_size: int = BLOCK_SIZE):
-    """Build the two-level cut from the reference BVH algorithm.
-
-    Returns ClusteredTris or None when the scene has no triangles.
-    """
-    import jax.numpy as jnp
+def _leaf_cut(geom, leaf_size: int):
+    """Host-side BVH leaf cut: returns (leaves, bounds_lo, bounds_hi,
+    prim_start, prim_count, gids) or None when no triangles."""
     from bidirectional_pathtracing_tpu.scene import bvh as bvh_mod
 
     # ONE device->host pull (f32 is exact: the stored data is f32); float64
@@ -86,14 +125,34 @@ def build_clusters(geom, cluster_size: int = CLUSTER_SIZE,
     hi = tri_p[tv].max(axis=1).astype(np.float64)
     try:
         from bidirectional_pathtracing_tpu.ops.native import bvh_build_native
-        nodes = bvh_build_native(lo, hi, cluster_size)
+        nodes = bvh_build_native(lo, hi, leaf_size)
     except Exception:
-        nodes = bvh_mod._build_numpy(lo, hi, cluster_size)
+        nodes = bvh_mod._build_numpy(lo, hi, leaf_size)
     (bounds_lo, bounds_hi, is_leaf, prim_start, prim_count, _escape,
      order) = nodes
     gids = ids[order]  # leaf-ordered global triangle ids
-
     leaves = np.where(is_leaf)[0]
+    return leaves, bounds_lo, bounds_hi, prim_start, prim_count, gids, tri_p
+
+
+def build_clusters(geom, cluster_size: int = CLUSTER_SIZE,
+                   block_size: int = BLOCK_SIZE, paired: bool | None = None):
+    """Build the two-level cut from the reference BVH algorithm.
+
+    Returns ClusteredTris / PairedClusteredTris, or None when the scene
+    has no triangles.  paired=None follows BDPT_TPU_SUBCLUSTERS.
+    """
+    import jax.numpy as jnp
+
+    if paired is None:
+        paired = SUBCLUSTERS
+    if paired:
+        return build_paired_clusters(geom)
+
+    cut = _leaf_cut(geom, cluster_size)
+    if cut is None:
+        return None
+    leaves, bounds_lo, bounds_hi, prim_start, prim_count, gids, tri_p = cut
     c_count = len(leaves)
 
     pad2global = np.full((c_count * cluster_size,), -1, np.int32)
@@ -126,4 +185,56 @@ def build_clusters(geom, cluster_size: int = CLUSTER_SIZE,
         cluster_b=jnp.asarray(cb),
         tris=jnp.asarray(tris),
         pad2global=jnp.asarray(pad2global),
+    )
+
+
+def build_paired_clusters(geom):
+    """Build the PAIRED sub-cluster layout: 64-leaf BVH cut, two subs per
+    128-lane row, A/B bound-row split per block (see PairedClusteredTris).
+    """
+    import jax.numpy as jnp
+
+    cut = _leaf_cut(geom, SUB_SIZE)
+    if cut is None:
+        return None
+    leaves, bounds_lo, bounds_hi, prim_start, prim_count, gids, tri_p = cut
+    s_count = len(leaves)
+    p_count = -(-s_count // 2)
+    n_blocks = max(-(-p_count // (BLOCK_SIZE // 2)), 1)
+
+    tris = np.zeros((p_count, 16, CLUSTER_SIZE), np.float32)
+    pad2global = np.full((p_count * CLUSTER_SIZE,), -1, np.int32)
+    cb = np.zeros((8, n_blocks * BLOCK_SIZE), np.float32)
+    cb[0:3, :] = np.inf           # padding rows: inverted AABB
+    cb[3:6, :] = -np.inf
+    for si, node in enumerate(leaves):
+        p, half = si // 2, si % 2
+        lane0 = half * SUB_SIZE
+        s, n = int(prim_start[node]), int(prim_count[node])
+        sel = gids[s:s + n]
+        tris[p, :9, lane0:lane0 + n] = tri_p[sel].reshape(n, 9).T
+        pad2global[p * CLUSTER_SIZE + lane0:
+                   p * CLUSTER_SIZE + lane0 + n] = sel
+        b, r = p // (BLOCK_SIZE // 2), p % (BLOCK_SIZE // 2)
+        col = b * BLOCK_SIZE + r + half * (BLOCK_SIZE // 2)
+        cb[0:3, col] = bounds_lo[node]
+        cb[3:6, col] = bounds_hi[node]
+
+    nb_pad = max(_ceil_to(n_blocks, 8), 8)
+    bb = np.zeros((nb_pad, 8), np.float32)
+    bb[:, 0:3] = np.inf
+    bb[:, 3:6] = -np.inf
+    for b in range(n_blocks):
+        sl = slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE)
+        fin = np.isfinite(cb[0, sl]) & (cb[0, sl] <= cb[3, sl])
+        if fin.any():
+            bb[b, 0:3] = cb[0:3, sl][:, fin].min(axis=1)
+            bb[b, 3:6] = cb[3:6, sl][:, fin].max(axis=1)
+
+    return PairedClusteredTris(
+        block_b=jnp.asarray(bb),
+        cluster_b=jnp.asarray(cb),
+        tris=jnp.asarray(tris),
+        pad2global=jnp.asarray(pad2global),
+        sub_marker=jnp.zeros((s_count, 0), jnp.float32),
     )

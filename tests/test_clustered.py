@@ -44,13 +44,15 @@ def _random_rays(n, seed=1, extent=6.0):
     return jnp.asarray(o), jnp.asarray(d)
 
 
+@pytest.mark.parametrize("paired", [False, True], ids=["flat", "paired"])
 @pytest.mark.parametrize("n_tris,n_rays,seed", [
     (700, 640, 0),      # multiple clusters, partial tile
+    (150, 256, 2),      # tiny mesh: exercises odd/partial sub-pairs
     pytest.param(4096, 1024, 7, marks=pytest.mark.slow),  # many blocks
 ])
-def test_clustered_matches_bruteforce(n_tris, n_rays, seed):
+def test_clustered_matches_bruteforce(n_tris, n_rays, seed, paired):
     geom = _random_mesh(n_tris, seed=seed)
-    clusters = build_clusters(geom)
+    clusters = build_clusters(geom, paired=paired)
     assert clusters is not None
     o, d = _random_rays(n_rays, seed=seed + 1)
     ref = intersect(geom, o, d, 1e-4, INF_D)
@@ -103,14 +105,15 @@ def test_clustered_with_spheres():
                                rtol=1e-6)
 
 
-def test_clustered_any_hit_matches_occlusion():
+@pytest.mark.parametrize("paired", [False, True], ids=["flat", "paired"])
+def test_clustered_any_hit_matches_occlusion(paired):
     """The early-exit any-hit variant must agree with brute-force
     occlusion for segment-clipped shadow rays."""
     from bidirectional_pathtracing_tpu.ops.intersect import occluded
     from bidirectional_pathtracing_tpu.ops.intersect_clustered import (
         occluded_clustered)
     geom = _random_mesh(900, seed=11)
-    clusters = build_clusters(geom)
+    clusters = build_clusters(geom, paired=paired)
     o, d = _random_rays(640, seed=12)
     min_t = jnp.full((640,), 1e-3)
     max_t = jnp.full((640,), 4.0)
