@@ -189,6 +189,7 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
     and, when checkpointing, saved.
     """
     from bidirectional_pathtracing_tpu.ops import lights as light_ops
+    from bidirectional_pathtracing_tpu.utils import aot
     from bidirectional_pathtracing_tpu.utils import checkpoint as ckpt
 
     w, h = cfg.width, cfg.height
@@ -214,11 +215,25 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
                 start = st["next_pass"]
         rays_total = jnp.float32(0)
         chunk = _auto_chunk(cfg, checkpoint_every)
+        # AOT warm start (utils/aot.py): resolve the compiled step once per
+        # chunk size; later processes load the persisted executable and
+        # skip trace+lower+compile (the reference's instant restart,
+        # raytraced_renderer.cpp:267-328)
+        steps: dict = {}
+
+        def step_for(n):
+            if n not in steps:
+                steps[n], _ = aot.get_step(
+                    _bdpt_step_chunk, "bdpt_step_chunk",
+                    (scene, key, jnp.int32(0), tcfg, w, h, n, inv),
+                    ((0, 1, 2, 7), f"{tcfg!r}|{w}x{h}|chunk{n}"))
+            return steps[n]
+
         i = start
         while i < cfg.spp:
             n = min(chunk, cfg.spp - i)
-            eye_i, light_i, rays_i = _bdpt_step_chunk(
-                scene, key, jnp.int32(i), tcfg, w, h, n, inv)
+            eye_i, light_i, rays_i = step_for(n)(
+                scene, key, jnp.int32(i), inv)
             rays_total = rays_total + rays_i
             if full_frame:
                 eye = eye + eye_i * inv
@@ -262,13 +277,23 @@ def render(scene: Scene, cfg: RenderConfig, seed: Optional[int] = None,
         active = jnp.ones((npix,), bool)
         batch = cfg.samples_per_batch if cfg.adaptive_sampling else cfg.spp
         chunk = _auto_chunk(cfg, checkpoint_every)
+        pt_steps: dict = {}
+
+        def pt_step_for(c):
+            if c not in pt_steps:
+                pt_steps[c], _ = aot.get_step(
+                    _pt_step_chunk, "pt_step_chunk",
+                    (scene, key, jnp.int32(0), tcfg, w, h, c, active),
+                    ((0, 1, 2, 7), f"{tcfg!r}|{w}x{h}|chunk{c}"))
+            return pt_steps[c]
+
         done = 0
         while done < cfg.spp:
             n = min(batch, cfg.spp - done)
             for j in range(0, n, chunk):
                 c = min(chunk, n - j)
-                acc_i, s1_i, s2_i, rays_i = _pt_step_chunk(
-                    scene, key, jnp.int32(done + j), tcfg, w, h, c, active)
+                acc_i, s1_i, s2_i, rays_i = pt_step_for(c)(
+                    scene, key, jnp.int32(done + j), active)
                 rays_total = rays_total + rays_i
                 acc, s1, s2 = acc + acc_i, s1 + s1_i, s2 + s2_i
                 counts_dev = counts_dev + c * active.astype(jnp.int32)
