@@ -395,6 +395,136 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
     return jax.lax.stop_gradient(w)
 
 
+def _scene_bounds(scene: Scene):
+    """(center [3], bounding radius) of the scene geometry, traced —
+    masked reductions over the padded SoA arrays."""
+    g = scene.geometry
+    tv = g.tri_valid[:, None, None]
+    lo_t = jnp.min(jnp.where(tv, g.tri_p, INF_D), axis=(0, 1))
+    hi_t = jnp.max(jnp.where(tv, g.tri_p, -INF_D), axis=(0, 1))
+    if g.num_spheres > 0:
+        sv = g.sph_valid[:, None]
+        lo_s = jnp.min(jnp.where(sv, g.sph_c - g.sph_r[:, None], INF_D),
+                       axis=0)
+        hi_s = jnp.max(jnp.where(sv, g.sph_c + g.sph_r[:, None], -INF_D),
+                       axis=0)
+        lo_t = jnp.minimum(lo_t, lo_s)
+        hi_t = jnp.maximum(hi_t, hi_s)
+    ctr = 0.5 * (lo_t + hi_t)
+    rad = 0.5 * jnp.linalg.norm(hi_t - lo_t) * 1.05 + 1e-3
+    return ctr, rad
+
+
+def _pdf_area_from(dir_pdf, from_pos, to_pos, to_n):
+    """Solid-angle pdf at from_pos -> area density at to_pos."""
+    wi, dist = _seg(from_pos, to_pos)
+    return dir_pdf * jnp.abs(jnp.sum(wi * to_n, axis=-1)) \
+        / jnp.maximum(dist * dist, 1e-12)
+
+
+def _pdf_area_edge(scene: Scene, path: Subpath, m: int, arrival,
+                   target: int, arrival_w=None):
+    """Area density of sampling path vertex `target` by BSDF-sampling at
+    vertex m, having arrived at m from vertex `arrival` (or along
+    arrival_w, a world direction from m TOWARD its arrival side)."""
+    wi, dist = _seg(path.pos[:, m], path.pos[:, target])
+    if arrival_w is None:
+        wo, _ = _seg(path.pos[:, m], path.pos[:, arrival])
+    else:
+        wo = arrival_w
+    p = _mis_pdf_local(scene, path.mat[:, m], wo, wi, path.n[:, m])
+    return p * jnp.abs(jnp.sum(wi * path.n[:, target], axis=-1)) \
+        / jnp.maximum(dist * dist, 1e-12)
+
+
+def _env_subpath_splats(scene: Scene, keys, width: int, height: int,
+                        nv: int, ctr, rad_b, pdf_pos, light_img,
+                        inv_ns_aa, cfg: RenderConfig):
+    """Strategy family (c): env emission subpaths connected to the camera
+    as light-image splats, power-2-weighted against the env-NEE strategy
+    (b) of each path class (see the env section of sample_pass).
+
+    Returns (light_img with splats added, measured ray count)."""
+    from bidirectional_pathtracing_tpu.ops import envlight
+    from bidirectional_pathtracing_tpu.ops.intersect import (
+        scene_occluded_segment as _socc)
+    s = keys.shape[0]
+    u4 = rng.uniform(rng.fold(keys, 5100), (4,))
+    u2 = rng.uniform(rng.fold(keys, 5101), (2,))
+    center = jnp.broadcast_to(ctr, (s, 3))
+    rad, o, d, pp, dp = envlight.sample_Le(scene.envmap, center, rad_b,
+                                           u4, u2)
+    lp = _prepare_subpath(scene, o, d, jnp.maximum(pp, 1e-12),
+                          jnp.maximum(dp, 1e-12), rad, d, keys, 47, nv,
+                          EPS_F, INF_D, adjoint=True)
+    # path-density chains (the shared env dir_pdf cancels in the ratio):
+    #  p_c(t) = pdf_pos*|cos(n_w1, beam)| * prod pcL   (env-side order)
+    #  p_b(t) = camdir*cos/d^2 * prod pbL              (camera-side order)
+    pc_root = pdf_pos * jnp.abs(jnp.sum(lp.n[:, 2] * d, axis=-1))
+    delta_w1 = _is_delta(scene, lp.mat[:, 2])
+    pcl = jnp.ones((s,))
+    pblint = jnp.ones((s,))
+
+    conns = []
+    for t in range(2, nv + 1):
+        vl_pos, vl_n = lp.pos[:, t], lp.n[:, t]
+        ci = camera_ops.sample_ray_pdf(scene.camera, vl_pos, width, height)
+        conn, dist = _seg(vl_pos, ci.point)
+        o2w_l = make_coord_space(vl_n)
+        light_ray, _ = _seg(vl_pos, lp.pos[:, t - 1])
+        f_light = bsdf_ops.eval_f(scene.materials, lp.mat[:, t],
+                                  to_local(o2w_l, conn),
+                                  to_local(o2w_l, light_ray))
+        g = jnp.abs(jnp.sum(vl_n * conn, axis=-1)
+                    * jnp.sum(ci.normal * conn, axis=-1)) \
+            / jnp.maximum(dist * dist, 1e-12)
+        contrib = (ci.we / ci.point_pdf[:, None]) * lp.alpha[:, t] \
+            * g[:, None] * f_light
+
+        if t >= 3:
+            # pcL: sampling v_t from v_{t-1}, arrived from env/v_{t-2}
+            pcl = pcl * _pdf_area_edge(
+                scene, lp, t - 1, t - 2 if t >= 4 else None, t,
+                arrival_w=(-d if t == 3 else None))
+            # pbL interior: sampling v_{t-2} from v_{t-1}, arrived v_t
+            if t >= 4:
+                pblint = pblint * _pdf_area_edge(scene, lp, t - 1, t,
+                                                 t - 2)
+            # the camera-adjacent sampled edge of strategy (b)
+            pbl_t = _pdf_area_edge(scene, lp, t, None, t - 1,
+                                   arrival_w=conn)
+        else:
+            pbl_t = jnp.ones((s,))
+        cam_edge = _pdf_area_from(ci.dir_pdf, ci.point, vl_pos, vl_n)
+        p_b = cam_edge * pblint * pbl_t
+        p_c = pc_root * pcl
+        r = jnp.where(delta_w1, 0.0, p_b / jnp.maximum(p_c, 1e-30))
+        w_c = 1.0 / (1.0 + r * r)
+        w_c = jnp.where(jnp.isfinite(w_c), w_c, 0.0)
+
+        valid = lp.valid[:, t] & ci.in_frame
+        ill = jnp.where(valid[:, None], contrib * w_c[:, None], 0.0)
+        ill = jnp.where(jnp.isfinite(ill), ill, 0.0)
+        flat = jnp.clip(ci.py.astype(jnp.int32) * width
+                        + ci.px.astype(jnp.int32), 0,
+                        height * width - 1)
+        conns.append((vl_pos, ci.point, valid, ill, flat))
+
+    blk, _, _ = _socc(scene,
+                      jnp.concatenate([c[0] for c in conns]),
+                      jnp.concatenate([c[1] for c in conns]),
+                      active=jnp.concatenate([c[2] for c in conns]))
+    blk = blk.reshape(len(conns), s)
+    for j, (_, _, valid, ill, flat) in enumerate(conns):
+        ok = valid & ~blk[j]
+        light_img = light_img.at[flat].add(
+            jnp.where(ok[:, None], ill * inv_ns_aa, 0.0))
+    rays = jnp.sum(jnp.concatenate(
+        [c[2] for c in conns]).astype(jnp.float32))
+    rays = rays + jnp.sum(lp.valid[:, 1:nv].astype(jnp.float32))
+    return light_img, rays
+
+
 def _eye_on_light_pdfs(scene: Scene, pos, prev_pos):
     """For the t=0 case: find the light containing the eye endpoint
     (bidirection.cpp:159-175, 307-328).  Returns (found, point_pdf,
@@ -490,23 +620,37 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     light_img = jnp.zeros((height * width, 3))
 
     # --- environment light (EXTENSION: the reference BDPT asserts on env
-    # lights, environment_light.cpp:182-208; we support them with the same
-    # estimator family the reference's own PT uses: env radiance on the
-    # PRIMARY miss (pathtracer.cpp:271-272) plus env NEE at every
-    # non-delta eye vertex.  The two strategies generate disjoint path
-    # sets, so no cross-MIS is needed and BDPT env renders agree with the
-    # PT integrator's, tests/test_env_bdpt.py) ---------------------------
+    # lights, environment_light.cpp:182-208).  Strategy families:
+    #   (a) env radiance on the PRIMARY miss (pathtracer.cpp:271-272) —
+    #       the only sampler of the 0-surface-vertex class, weight 1;
+    #   (b) env NEE at every non-delta eye vertex;
+    #   (c) [pure-env scenes] ENV LIGHT SUBPATHS: emission rays sampled
+    #       via envlight.sample_Le (CDF direction x disk origin, the pbrt
+    #       parallel-beam conventions), walked like any light subpath and
+    #       connected to the camera as light-image splats.
+    # A path class with k>=1 surface vertices is sampled by exactly (b)
+    # at its env-adjacent vertex and (c) with a k-vertex subpath, so the
+    # two carry power-2 MIS weights computed from the full path densities
+    # (_env_mis_chains); the partition is complete and the combined BDPT
+    # render still equals PT (tests/test_env_bdpt.py). ------------------
     env_rays = jnp.float32(0)
     if scene.envmap is not None:
         from bidirectional_pathtracing_tpu.ops import envlight
         from bidirectional_pathtracing_tpu.ops.intersect import (
             scene_occluded)
+        env_subpaths = nl_lights == 0   # (c) only when env is the sole light
+        if env_subpaths:
+            ctr, rad_b = _scene_bounds(scene)
+            pdf_pos = 1.0 / (jnp.pi * rad_b * rad_b)
         if nv >= 2:
             d1 = eye.n[:, 1]             # camera ray dir (walk init normal)
             miss1 = ~eye.valid[:, 2]
             eye_L += jnp.where(miss1[:, None],
                                envlight.sample_dir(scene.envmap, d1), 0.0)
+        # (b) env NEE, weighted vs the (c) splat strategy of each class
         o_all, d_all, c_all, a_all = [], [], [], []
+        pb_cum = jnp.ones((s,))          # camera-side pdf chain (area)
+        pc_int = jnp.ones((s,))          # env-side interior pdf chain
         for i in range(2, nv + 1):
             vi_valid = eye.valid[:, i] & ~_is_delta(scene, eye.mat[:, i])
             u4 = rng.uniform(rng.fold(keys, 5000 + i * 13), (4,))
@@ -519,6 +663,29 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
             cos = jnp.abs(jnp.sum(wi_w * eye.n[:, i], axis=-1))
             contrib = (eye.alpha[:, i] * rad * f
                        * (cos / jnp.maximum(pdf, 1e-12))[:, None])
+            if env_subpaths:
+                if i == 2:
+                    ci0 = camera_ops.sample_ray_pdf(scene.camera,
+                                                    eye.pos[:, 2], 1, 1)
+                    pb_cum = _pdf_area_from(
+                        ci0.dir_pdf, eye.pos[:, 1], eye.pos[:, 2],
+                        eye.n[:, 2])
+                else:
+                    # extend chains camera->v_i / env-interior to v_{i-1}
+                    pb_cum = pb_cum * _pdf_area_edge(
+                        scene, eye, i - 1, i - 2, i)
+                    if i >= 4:
+                        pc_int = pc_int * _pdf_area_edge(
+                            scene, eye, i - 1, i, i - 2)
+                # the env-arrival edge at v_i (pc root conversion + the
+                # env-adjacent sampled edge when i >= 3)
+                pc_env = pdf_pos * cos
+                if i >= 3:
+                    pc_env = pc_env * _pdf_area_edge(
+                        scene, eye, i, None, i - 1, arrival_w=wi_w)
+                r = pc_env * pc_int / jnp.maximum(pb_cum, 1e-30)
+                w_b = 1.0 / (1.0 + r * r)
+                contrib = contrib * w_b[:, None]
             o_all.append(eye.pos[:, i])
             d_all.append(wi_w)
             c_all.append(jnp.where(vi_valid[:, None], contrib, 0.0))
@@ -532,6 +699,12 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
             for j, c in enumerate(c_all):
                 eye_L += jnp.where(blocked[j][:, None], 0.0, c)
             env_rays = jnp.sum(act.astype(jnp.float32))
+        # (c) env light subpaths -> camera splats
+        if env_subpaths and nv >= 2:
+            light_img, c_rays = _env_subpath_splats(
+                scene, keys, width, height, nv, ctr, rad_b, pdf_pos,
+                light_img, inv_ns_aa, cfg)
+            env_rays = env_rays + c_rays
 
     # --- connections: i_eye in 1..nv, i_light in 0..nv --------------------
     # batch every combo's shadow segments into ONE occlusion launch

@@ -141,13 +141,24 @@ def _clustered_kernel(rays_ref, bb_ref, cb_ref, tris_hbm,
         SUBTILES == 1: the caller only reaches set any-bits).
 
         (lane_lo, lane_n): paired layout's static half-row window — MT
-        runs on the surviving sub-cluster's lanes only."""
+        runs on the surviving sub-cluster's triangles only.  The window
+        is applied AFTER the full-row load, as a sublane slice of the
+        [tc, 1] value (Mosaic rejects sub-128-lane ref slices — the r04
+        paired-kernel compile crash — but value sublane slices at
+        8-multiple offsets are legal)."""
         n = tc if lane_n is None else lane_n
-        v = [tri_scr[slot, k, lane_lo:lane_lo + n] for k in range(9)]
-        vc = [vk[:, None] for vk in v]               # [n, 1]
+        v = [tri_scr[slot, k, :] for k in range(9)]  # [tc] full row
+        vc = [vk[:, None][lane_lo:lane_lo + n] for vk in v]   # [n, 1]
         e1 = [vc[3 + k] - vc[k] for k in range(3)]
         e2 = [vc[6 + k] - vc[k] for k in range(3)]
-        io = iota[lane_lo:lane_lo + n]               # absolute row values
+        if lane_n is None:
+            io = iota
+        else:
+            # generate the window's absolute-row iota directly: SLICING a
+            # broadcasted_iota value crashes the Mosaic compiler (r04
+            # micro-repro: array.h Check failed limits[i] <= dim(i))
+            io = (jax.lax.broadcasted_iota(jnp.int32, (n, hw), 0)
+                  + lane_lo).astype(jnp.float32)
         if SUBTILES == 1:
             mt_half(c, vc, e1, e2, 0, io)
             return

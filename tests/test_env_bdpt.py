@@ -1,10 +1,12 @@
 """Environment-light BDPT support (EXTENSION beyond the reference, whose
 BDPT asserts on env lights, environment_light.cpp:182-208).
 
-The BDPT env estimator uses the same strategy family as the (reference's
-own) PT: env radiance on the primary miss + env NEE per non-delta vertex.
-Both integrators are unbiased for these path sets, so their converged
-renders of an env-lit scene must agree."""
+Strategy families (models/bdpt.py env section): primary-miss radiance,
+env NEE per non-delta vertex, and — on pure-env scenes — ENV LIGHT
+SUBPATHS (envlight.sample_Le emission walks splatted to the camera),
+power-2 MIS-weighted against the NEE strategy of each path class.  The
+partition is complete, so the converged BDPT render must still agree
+with the PT integrator's."""
 
 import numpy as np
 import pytest
@@ -21,6 +23,19 @@ def test_bdpt_env_smoke_fast():
     assert np.isfinite(img).all() and img.mean() > 0.01
     dark = _render(scene._replace(envmap=None), "bdpt", 2, w=20, h=15)
     assert dark.max() == 0.0   # no lights at all -> black
+
+
+def test_bdpt_env_subpath_splats_fast():
+    """Env light subpaths produce finite, nonnegative light-image splats
+    on a pure-env scene (the (c) strategy family)."""
+    from bidirectional_pathtracing_tpu.config import RenderConfig
+    from bidirectional_pathtracing_tpu.utils.render import render
+    scene = _scene_with_env()
+    res = render(scene, RenderConfig(spp=8, max_ray_depth=4, width=40,
+                                     height=30, integrator="bdpt"))
+    assert np.isfinite(res.light).all()
+    assert (res.light >= 0).all()
+    assert res.light.sum() > 0.0
 
 
 
