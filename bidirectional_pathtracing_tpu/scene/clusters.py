@@ -43,8 +43,15 @@ BLOCK_SIZE = 128     # cluster (or sub-cluster) bound rows per block
 
 import os as _os
 
-# Paired sub-cluster layout knob (A/B measured on chip, BENCH_NOTES.md).
-SUBCLUSTERS = _os.environ.get("BDPT_TPU_SUBCLUSTERS", "0") != "0"
+# Paired sub-cluster layout knob.  A/B measured on chip at 480x360 d5
+# spp8 (artifacts/SUBCLUSTER_AB.json, r04): 28.5k tris +23%, 114k tris
+# +15%, 457k tris -10% — tight tile unions leave one sub of most pairs
+# dead (half the Möller–Trumbore per visit) while huge scenes' wide
+# unions keep both subs alive and only pay the doubled per-block slab
+# overhead.  "auto" (default) picks paired for scenes at or below
+# PAIR_AUTO_MAX_TRIS; "1"/"0" force it on/off.
+SUBCLUSTERS = _os.environ.get("BDPT_TPU_SUBCLUSTERS", "auto")
+PAIR_AUTO_MAX_TRIS = 200_000
 
 
 class ClusteredTris(NamedTuple):
@@ -145,7 +152,11 @@ def build_clusters(geom, cluster_size: int = CLUSTER_SIZE,
     import jax.numpy as jnp
 
     if paired is None:
-        paired = SUBCLUSTERS
+        if SUBCLUSTERS == "auto":
+            n_valid = int(np.asarray(geom.tri_valid).sum())
+            paired = n_valid <= PAIR_AUTO_MAX_TRIS
+        else:
+            paired = SUBCLUSTERS != "0"
     if paired:
         return build_paired_clusters(geom)
 

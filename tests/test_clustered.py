@@ -73,7 +73,7 @@ def test_clustered_segment_window():
     """min_t/max_t clipping must match (shadow-segment semantics,
     bidirection.cpp:423-430)."""
     geom = _random_mesh(900, seed=3)
-    clusters = build_clusters(geom)
+    clusters = build_clusters(geom, paired=False)
     o, d = _random_rays(512, seed=4)
     min_t = jnp.full((512,), 0.5)
     max_t = jnp.full((512,), 3.0)
@@ -95,7 +95,7 @@ def test_clustered_with_spheres():
         sph_c=np.array([[0.0, 0.0, 0.0], [2.0, 1.0, -1.0]]),
         sph_r=np.array([1.0, 0.7]),
         sph_mat=np.array([1, 2], np.int32))
-    clusters = build_clusters(geom)
+    clusters = build_clusters(geom, paired=False)
     o, d = _random_rays(512, seed=6)
     ref = intersect(geom, o, d, 1e-4, INF_D)
     got = intersect_clustered(geom, clusters, o, d, 1e-4, INF_D,
@@ -146,7 +146,7 @@ def test_clustered_sparse_walk_bit31():
     n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     geom = make_geometry(tri_p, np.repeat(n[:, None, :], 3, axis=1),
                          np.zeros((tri_p.shape[0],), np.int32))
-    clusters = build_clusters(geom)
+    clusters = build_clusters(geom, paired=False)
     assert clusters.n_clusters == 32 and clusters.n_blocks == 1
 
     o = np.array([-50.0, 0.0, 0.0]) + rng.uniform(-0.2, 0.2, (256, 3))
@@ -192,7 +192,7 @@ def test_sorted_dispatch_matches():
     min-index tie rule are independent of tile grouping)."""
     from bidirectional_pathtracing_tpu.ops.intersect import _ray_sort_perm
     geom = _random_mesh(2000, seed=13)
-    clusters = build_clusters(geom)
+    clusters = build_clusters(geom, paired=False)
     o, d = _random_rays(1024, seed=14)
     perm = _ray_sort_perm(clusters, o, d, jnp.full((1024,), 1e-4),
                           jnp.full((1024,), INF_D))
@@ -222,7 +222,7 @@ def test_sorted_occlusion_matches():
     from bidirectional_pathtracing_tpu.ops.intersect_clustered import (
         occluded_clustered)
     geom = _random_mesh(1500, seed=15)
-    clusters = build_clusters(geom)
+    clusters = build_clusters(geom, paired=False)
     o, d = _random_rays(1024, seed=16)
     # a mix of live windows and dead (pruned-pair) windows
     rng = np.random.default_rng(17)
@@ -245,7 +245,7 @@ def test_sorted_occlusion_matches():
 
 def test_cluster_builder_covers_all_triangles():
     geom = _random_mesh(1000, seed=8)
-    clusters = build_clusters(geom)
+    clusters = build_clusters(geom, paired=False)
     p2g = np.asarray(clusters.pad2global)
     real = p2g[p2g >= 0]
     assert sorted(real.tolist()) == list(range(1000))
@@ -268,7 +268,7 @@ def test_clustered_dense_mask_word():
     edge of the sparse bit walk are both pinned.  4096 tris in one tight
     cube -> 32 fully-overlapping clusters = one block, one full word."""
     geom = _random_mesh(4096, seed=21, extent=0.3)
-    clusters = build_clusters(geom)
+    clusters = build_clusters(geom, paired=False)
     # spatial clustering over a tight cube: every cluster AABB overlaps
     # every ray's path, so survivor word 0 fills all 32 bits
     assert clusters.n_clusters >= 32 and clusters.n_blocks == 1
