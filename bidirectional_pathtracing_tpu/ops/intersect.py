@@ -98,6 +98,43 @@ def sphere_intersect_batch(o, d, c, r, min_t, max_t):
     return t, hit
 
 
+def sphere_merge(geom, o, d, min_b, max_b,
+                 best_t, best_n, best_mat, best_prim, prim_base):
+    """Merge sphere hits into the running best hit.
+
+    The winning sphere's attributes come from STATIC per-column selects
+    over the (tiny) sphere table instead of `ts[rows, argmin]` row
+    gathers: one such gather measured 33% of the entire CBspheres BDPT
+    step on chip (r04 trace, fusion.3353 — TPU gathers run ~0.35G
+    rows/s; these selects fuse into the surrounding elementwise work).
+    Tie-breaking matches argmin (lowest sphere index wins).
+    """
+    ns = geom.sph_c.shape[0]
+    ts, hs = sphere_intersect_batch(
+        o, d, geom.sph_c, geom.sph_r, min_b, jnp.minimum(max_b, best_t))
+    hs = hs & geom.sph_valid[None, :]
+    ts = jnp.where(hs, ts, INF_D)
+    tj = jnp.min(ts, axis=-1)
+    r = o.shape[0]
+    sc = jnp.zeros((r, 3), o.dtype)
+    smat = jnp.zeros((r,), jnp.int32)
+    sidx = jnp.zeros((r,), jnp.int32)
+    for k in range(ns - 1, -1, -1):
+        w = ts[:, k] <= tj
+        sc = jnp.where(w[:, None], geom.sph_c[k], sc)
+        smat = jnp.where(w, geom.sph_mat[k], smat)
+        sidx = jnp.where(w, jnp.int32(k), sidx)
+    closer = tj < best_t
+    p_hit = o + tj[:, None] * d
+    nrm = p_hit - sc
+    nrm = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+    return (jnp.where(closer, tj, best_t),
+            jnp.where(closer[:, None], nrm, best_n),
+            jnp.where(closer, smat, best_mat),
+            jnp.where(closer, prim_base + sidx, best_prim))
+
+
 def intersect(geom: Geometry, o, d, min_t, max_t) -> Hit:
     """Closest-hit over all primitives.  o,d: [R,3]; min_t,max_t: [R] or scalar."""
     r_count = o.shape[0]
@@ -145,25 +182,12 @@ def intersect(geom: Geometry, o, d, min_t, max_t) -> Hit:
             tri_step, (best_t, best_n, best_mat, best_prim),
             (tri_p, tri_n, tri_mat, tri_valid, tri_base))
 
-    # spheres (few; single batch)
+    # spheres (few; single batch of static selects)
     num_q = geom.num_spheres
     if num_q > 0:
-        t, hit = sphere_intersect_batch(
-            o, d, geom.sph_c, geom.sph_r, min_t, jnp.minimum(max_t, best_t))
-        hit = hit & geom.sph_valid[None, :]
-        t = jnp.where(hit, t, INF_D)
-        j = jnp.argmin(t, axis=-1)
-        rows = jnp.arange(r_count)
-        tj = t[rows, j]
-        closer = tj < best_t
-        p_hit = o + tj[:, None] * d
-        nrm = p_hit - geom.sph_c[j]
-        nrm = nrm / jnp.maximum(
-            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
-        best_n = jnp.where(closer[:, None], nrm, best_n)
-        best_mat = jnp.where(closer, geom.sph_mat[j], best_mat)
-        best_prim = jnp.where(closer, num_t + j.astype(jnp.int32), best_prim)
-        best_t = jnp.where(closer, tj, best_t)
+        best_t, best_n, best_mat, best_prim = sphere_merge(
+            geom, o, d, min_t, max_t, best_t, best_n, best_mat, best_prim,
+            jnp.int32(num_t))
 
     valid = best_t < INF_D
     return Hit(t=best_t, valid=valid, n=best_n, mat=best_mat, prim=best_prim)
@@ -601,7 +625,27 @@ def scene_occluded(scene, o, d, min_t, max_t):
                 return _sorted_clustered_occluded(scene, o, d, min_t, max_t)
             return occluded_clustered(scene.geometry, scene.clusters,
                                       o, d, min_t, max_t)
-        # brute force has no early-out advantage: reuse closest-hit
+        # brute force has no early-out advantage, but occlusion needs no
+        # RESOLVE either: skip the winner recompute (normal interp + tri
+        # gathers + sphere merge) whose gathers measured ~35% of the
+        # CBspheres step on the 36-combo shadow batch (r04 trace,
+        # fusion.3353 + friends) — a boolean only needs (slot >= 0) and
+        # an any-sphere test
+        if n_t <= _PALLAS_MAX_TRIS:
+            from bidirectional_pathtracing_tpu.ops.intersect_pallas import (
+                make_tri_soa, tri_closest_hit_pallas)
+            r = o.shape[0]
+            min_b = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r,))
+            max_b = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r,))
+            _, slot = tri_closest_hit_pallas(
+                make_tri_soa(scene.geometry), o, d, min_b, max_b)
+            hit = slot >= 0
+            g = scene.geometry
+            if g.num_spheres > 0:
+                ts, hs = sphere_intersect_batch(
+                    o, d, g.sph_c, g.sph_r, min_b, max_b)
+                hit = hit | jnp.any(hs & g.sph_valid[None, :], axis=-1)
+            return hit
         return scene_intersect(scene, o, d, min_t, max_t).valid
     if scene.bvh is not None:
         return intersect_bvh(scene.geometry, scene.bvh, o, d, min_t, max_t,

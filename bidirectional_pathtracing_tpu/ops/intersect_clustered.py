@@ -463,23 +463,10 @@ def resolve_clustered_hit(geom, clusters: ClusteredTris, o, d,
     best_prim = jnp.where(tri_hit, tid, -1)
 
     if geom.num_spheres > 0:
-        ts, hs = sphere_intersect_batch(
-            o, d, geom.sph_c, geom.sph_r, min_b, jnp.minimum(max_b, best_t))
-        hs = hs & geom.sph_valid[None, :]
-        ts = jnp.where(hs, ts, INF_D)
-        j = jnp.argmin(ts, axis=-1)
-        rows = jnp.arange(r)
-        tj = ts[rows, j]
-        closer = tj < best_t
-        p_hit = o + tj[:, None] * d
-        nrm = p_hit - geom.sph_c[j]
-        nrm = nrm / jnp.maximum(
-            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
-        best_n = jnp.where(closer[:, None], nrm, best_n)
-        best_mat = jnp.where(closer, geom.sph_mat[j], best_mat)
-        best_prim = jnp.where(closer, geom.num_tris + j.astype(jnp.int32),
-                              best_prim)
-        best_t = jnp.where(closer, tj, best_t)
+        from bidirectional_pathtracing_tpu.ops.intersect import sphere_merge
+        best_t, best_n, best_mat, best_prim = sphere_merge(
+            geom, o, d, min_b, max_b, best_t, best_n, best_mat, best_prim,
+            jnp.int32(geom.num_tris))
     return Hit(t=best_t, valid=best_t < INF_D, n=best_n, mat=best_mat,
                prim=best_prim)
 

@@ -44,30 +44,57 @@ def main():
         data = json.load(f)
     events = data.get("traceEvents", [])
 
-    # device-side complete events: pid groups named like "/device:TPU:0"
+    # device-side complete events: pid groups named like "/device:TPU:0";
+    # only the "XLA Ops" thread lane holds leaf ops (the "XLA Modules" /
+    # "Steps" lanes are umbrella spans duplicating their children)
     pid_names = {e["pid"]: e["args"].get("name", "")
                  for e in events
                  if e.get("ph") == "M" and e.get("name") == "process_name"
                  and "args" in e}
     device_pids = {p for p, n in pid_names.items()
                    if "TPU" in n or "tpu" in n or "Device" in n}
+    op_tids = {(e["pid"], e["tid"]) for e in events
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and "args" in e and "XLA Ops" in e["args"].get("name", "")}
 
-    by_class = collections.Counter()
-    by_name = collections.Counter()
-    total = 0.0
+    # SELF time per op: control-flow ops (while/conditional bodies) appear
+    # as spans CONTAINING their body ops on the same lane — stack-walk the
+    # intervals and charge each parent only its non-child time
+    lanes = collections.defaultdict(list)
     for e in events:
         if e.get("ph") != "X":
             continue
         if device_pids and e.get("pid") not in device_pids:
             continue
-        dur = e.get("dur", 0) / 1e6   # us -> s
-        name = e.get("name", "?")
-        # skip trace-viewer umbrella rows that duplicate their children
-        if name.startswith(("XLA Modules", "Steps", "XLA Ops")):
+        if op_tids and (e.get("pid"), e.get("tid")) not in op_tids:
             continue
-        by_class[classify(name)] += dur
-        by_name[name] += dur
-        total += dur
+        lanes[(e.get("pid"), e.get("tid"))].append(
+            (e.get("ts", 0), e.get("dur", 0), e.get("name", "?")))
+
+    by_class = collections.Counter()
+    by_name = collections.Counter()
+    total = 0.0
+    for lane in lanes.values():
+        lane.sort(key=lambda x: (x[0], -x[1]))
+        stack = []   # (end_ts, name, child_time_accum_index)
+        child_time = []
+        for ts, dur, name in lane:
+            while stack and ts >= stack[-1][0]:
+                end, nm, ci = stack.pop()
+                self_s = (child_time[ci][0] - child_time[ci][1]) / 1e6
+                by_class[classify(nm)] += self_s
+                by_name[nm] += self_s
+                total += self_s
+            if stack:
+                child_time[stack[-1][2]][1] += dur
+            child_time.append([dur, 0])
+            stack.append((ts + dur, name, len(child_time) - 1))
+        while stack:
+            end, nm, ci = stack.pop()
+            self_s = (child_time[ci][0] - child_time[ci][1]) / 1e6
+            by_class[classify(nm)] += self_s
+            by_name[nm] += self_s
+            total += self_s
 
     print(f"total device op time: {total:.3f} s "
           f"({len(files)} trace files, using {os.path.basename(files[-1])})")
