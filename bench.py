@@ -54,8 +54,10 @@ def bench_scene(name, scene_path, depth, spp, chunk):
                        height=height, integrator="bdpt")
     # the EXACT dispatch the render() driver issues (same tcfg hash, same
     # operand signature AND shardings — a NamedSharding device_put here
-    # would flip the compile-cache key vs the CLI/flagship renders) so
-    # bench warms the compile cache for real renders
+    # would flip the compile-cache key vs the CLI/flagship renders),
+    # resolved through the SAME AOT store (utils/aot.py) so bench both
+    # loads and warms the persisted executables real renders use
+    from bidirectional_pathtracing_tpu.utils import aot
     tcfg = _trace_cfg(cfg)
     inv = jnp.float32(1.0 / spp)
     key = jax.random.key(0)
@@ -63,8 +65,11 @@ def bench_scene(name, scene_path, depth, spp, chunk):
     # warmup/compile (np.asarray = hard sync: block_until_ready is not a
     # reliable barrier through the axon device tunnel)
     t0 = time.perf_counter()
-    eye, light, rays = _bdpt_step_chunk(scene, key, jnp.int32(0), tcfg,
-                                        width, height, chunk, inv)
+    step, aot_hit = aot.get_step(
+        _bdpt_step_chunk, "bdpt_step_chunk",
+        (scene, key, jnp.int32(0), tcfg, width, height, chunk, inv),
+        ((0, 1, 2, 7), f"{tcfg!r}|{width}x{height}|chunk{chunk}"))
+    eye, light, rays = step(scene, key, jnp.int32(0), inv)
     np.asarray(eye)
     compile_s = time.perf_counter() - t0
 
@@ -72,9 +77,7 @@ def bench_scene(name, scene_path, depth, spp, chunk):
     rays_total = 0.0
     t0 = time.perf_counter()
     for i in range(n_chunks):
-        eye, light, rays = _bdpt_step_chunk(
-            scene, key, jnp.int32(i * chunk), tcfg,
-            width, height, chunk, inv)
+        eye, light, rays = step(scene, key, jnp.int32(i * chunk), inv)
         rays_total += float(rays)
     np.asarray(eye), np.asarray(light)
     dt = time.perf_counter() - t0
@@ -87,6 +90,7 @@ def bench_scene(name, scene_path, depth, spp, chunk):
         "spp": samples // (width * height),
         "wall_s": round(dt, 3),
         "compile_s": round(compile_s, 1),
+        "aot_warm": bool(aot_hit),
         "samples_per_s": round(samples / dt, 1),
         "rays": rays_total,
         "mrays_per_s": round(rays_total / dt / 1e6, 3),

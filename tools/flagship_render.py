@@ -92,25 +92,31 @@ def main():
         # flagship-vs-bench discrepancy, VERDICT item 3).
         import jax.numpy as jnp
         import numpy as np
+        from bidirectional_pathtracing_tpu.utils import aot
         from bidirectional_pathtracing_tpu.utils.render import (
             _auto_chunk, _bdpt_step_chunk, _trace_cfg)
         tcfg = _trace_cfg(cfg)
+        chunk = _auto_chunk(cfg)
+        inv = jnp.float32(1.0 / cfg.spp)
         t0 = time.perf_counter()
-        w_eye, _, _ = _bdpt_step_chunk(scene, jax.random.key(cfg.seed),
-                                       jnp.int32(0), tcfg, 480, 360,
-                                       _auto_chunk(cfg),
-                                       jnp.float32(1.0 / cfg.spp))
+        # resolve through the AOT store (same key as render()): a fresh
+        # process re-rendering a known scene shape loads the persisted
+        # executable in seconds instead of compiling for minutes
+        step, aot_warm = aot.get_step(
+            _bdpt_step_chunk, "bdpt_step_chunk",
+            (scene, jax.random.key(cfg.seed), jnp.int32(0), tcfg, 480, 360,
+             chunk, inv),
+            ((0, 1, 2, 7), f"{tcfg!r}|480x360|chunk{chunk}"))
+        w_eye, _, _ = step(scene, jax.random.key(cfg.seed), jnp.int32(0),
+                           inv)
         np.asarray(w_eye)
         warm_s = time.perf_counter() - t0
-        # the warm-up above executed one full chunk after compiling; time
-        # an identical cache-hit dispatch and subtract so compile_s is the
-        # compile alone (ADVICE r03: at lucy scale the chunk is the whole
-        # frame, ~10-15% of warm_s)
+        # the warm-up above executed one full chunk after compile/load;
+        # time an identical dispatch and subtract so compile_s is the
+        # compile (or AOT load) alone (ADVICE r03)
         t0 = time.perf_counter()
-        w_eye, _, _ = _bdpt_step_chunk(scene, jax.random.key(cfg.seed),
-                                       jnp.int32(0), tcfg, 480, 360,
-                                       _auto_chunk(cfg),
-                                       jnp.float32(1.0 / cfg.spp))
+        w_eye, _, _ = step(scene, jax.random.key(cfg.seed), jnp.int32(0),
+                           inv)
         np.asarray(w_eye)
         compile_s = warm_s - (time.perf_counter() - t0)
         t0 = time.perf_counter()
@@ -123,6 +129,7 @@ def main():
         row = {
             "spp": spp,
             "compile_s": round(compile_s, 1),
+            "aot_warm": bool(aot_warm),
             "wall_time_s": round(res.stats["wall_time_s"], 1),
             "samples_per_s": round(res.stats["camera_samples_per_s"], 1),
             "mrays_per_s": round(res.stats["mrays_per_s"], 3),

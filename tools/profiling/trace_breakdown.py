@@ -19,7 +19,7 @@ import sys
 def classify(name: str) -> str:
     n = name.lower()
     if "clustered" in n or "tri_closest" in n:
-        return "clustered kernel"
+        return "intersect kernels (pallas)"
     if "brute" in n or "intersect" in n:
         return "brute intersect kernel"
     if "sort" in n:
