@@ -313,7 +313,9 @@ def test_clustered_subtiles2_matches_bruteforce():
         "geom = _random_mesh(700, seed=3)\n"
         "o, d = _random_rays(640, seed=4)\n"
         "ref = intersect(geom, o, d, 1e-4, INF_D)\n"
-        "clusters = build_clusters(geom)\n"
+        # SUBTILES masks the ray axis of the FLAT layout (paired +
+        # SUBTILES>1 raises by design)
+        "clusters = build_clusters(geom, paired=False)\n"
         "got = intersect_clustered(geom, clusters, o, d, 1e-4, INF_D,"
         " interpret=True)\n"
         "np.testing.assert_array_equal(np.asarray(got.valid),"
