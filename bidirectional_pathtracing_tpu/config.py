@@ -32,6 +32,20 @@ class RenderConfig:
     adaptive_sampling: bool = False         # reference disables for BDPT (bidirection.cpp:516)
     pt_reference_nee: bool = True           # replicate the reference's area-light
                                             # NEE estimator quirk (see ops/lights.py)
+    bdpt_consistent_camera: bool = False    # False replicates the reference's
+                                            # internally inconsistent camera-
+                                            # step MIS pricing: the current-
+                                            # strategy denominator for the
+                                            # camera->first-hit step is pinned
+                                            # to 1 (bidirection.cpp:203-210)
+                                            # while alternatives price it as
+                                            # dir_pdf * G (bidirection.cpp:
+                                            # 246-249), bending the partition
+                                            # of unity a few percent near the
+                                            # view axis.  True = Veach-exact
+                                            # pricing (models/bdpt.py
+                                            # _mis_tables); same expectation,
+                                            # slightly different weights.
     bdpt_reference_t1_mis: bool = False     # reproduce the reference's t=1 MIS
                                             # junction defect (prices the light
                                             # SUBPATH vertex instead of the fresh

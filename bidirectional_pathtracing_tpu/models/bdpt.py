@@ -32,10 +32,18 @@ once i >= max_ray_depth + 1, bidirection.cpp:84-86).
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# Diagnostic knob for the environment-light strategy families (see the
+# env section of sample_pass): "mis" (default) runs env NEE and env
+# subpath splats MIS-weighted against each other; "nee" disables the
+# subpath family and gives env NEE weight 1 (the pre-r04 disjoint
+# scheme — same expectation, used to bisect bias/variance).
+_ENV_STRATEGY = _os.environ.get("BDPT_TPU_ENV_STRATEGY", "mis")
 
 from bidirectional_pathtracing_tpu.config import RenderConfig
 from bidirectional_pathtracing_tpu.core.math import (
@@ -71,6 +79,14 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
     keys: per-lane PRNG keys [S]; site: static constant separating the eye
     and light walks' random streams.  adjoint: light-subpath walk — BSDF
     values in alpha use the adjoint orientation (ops/bsdf.py sample).
+
+    Returns (Subpath, steps) — steps = (d_step [S, nv-1, 3],
+    miss [S, nv-1]): the ray direction of each walk step (the one
+    producing vertex m+2 at step m) and whether a LIVE lane missed the
+    scene on it.  alpha at the would-be vertex is computable from
+    previous-vertex quantities only, so Subpath.alpha[:, m+2] is valid
+    even on a miss — together these feed the eye-walk env-miss pickup
+    strategy (d) in sample_pass.
     """
     s = o.shape[0]
 
@@ -85,6 +101,7 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
         # and the clustered TPU kernel then skips their cluster streams
         hit = scene_intersect(scene, o, d, min_t,
                               jnp.where(alive, max_t, -1.0))
+        miss = alive & ~hit.valid
         alive = alive & hit.valid
         hit_p = o + hit.t[..., None] * d
 
@@ -101,7 +118,7 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
                              adjoint=adjoint)
         wi_w = normalize(to_world(o2w, bs.wi))
 
-        out = (hit_p, hit.n, alpha_i, p_i, hit.mat, alive)
+        out = (hit_p, hit.n, alpha_i, p_i, hit.mat, alive, d, miss)
         carry = (hit_p, wi_w, bs.pdf, bs.f, hit.n, alpha_i, p_i, alive,
                  jnp.full((s,), EPS_F), jnp.full((s,), INF_D))
         return carry, out
@@ -116,7 +133,8 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
             jnp.broadcast_to(first_max_t, (s,)))
     if nv > 1:
         _, outs = jax.lax.scan(step, init, us)
-        pos_s, n_s, alpha_s, p_s, mat_s, valid_s = outs  # each [nv-1, S, ...]
+        (pos_s, n_s, alpha_s, p_s, mat_s, valid_s, d_s,
+         miss_s) = outs  # each [nv-1, S, ...]
     else:
         pos_s = jnp.zeros((0, s, 3))
         n_s = jnp.zeros((0, s, 3))
@@ -124,6 +142,8 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
         p_s = jnp.zeros((0, s))
         mat_s = jnp.zeros((0, s), jnp.int32)
         valid_s = jnp.zeros((0, s), bool)
+        d_s = jnp.zeros((0, s, 3))
+        miss_s = jnp.zeros((0, s), bool)
 
     def stack(v1, rest, extra_dims):
         # [S, nv+1, ...]: slot0 zero, slot1 = v1, slots 2.. = walk outputs
@@ -131,7 +151,7 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
         return jnp.concatenate(
             [zero[:, None], v1[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
 
-    return Subpath(
+    path = Subpath(
         pos=stack(o, pos_s, 3),
         n=stack(init_normal, n_s, 3),
         alpha=stack(v1_alpha, alpha_s, 3),
@@ -144,6 +164,7 @@ def _prepare_subpath(scene: Scene, o, d, point_pdf, dir_pdf, init_radiance,
             jnp.moveaxis(valid_s, 0, 1)], axis=1),
         dir_pdf=dir_pdf,
     )
+    return path, (jnp.moveaxis(d_s, 0, 1), jnp.moveaxis(miss_s, 0, 1))
 
 
 def _vert(path: Subpath, i: int):
@@ -441,8 +462,10 @@ def _env_subpath_splats(scene: Scene, keys, width: int, height: int,
                         nv: int, ctr, rad_b, pdf_pos, light_img,
                         inv_ns_aa, cfg: RenderConfig):
     """Strategy family (c): env emission subpaths connected to the camera
-    as light-image splats, power-2-weighted against the env-NEE strategy
-    (b) of each path class (see the env section of sample_pass).
+    as light-image splats, power-2-weighted against the eye-side env
+    strategies of each path class — (b) env NEE at the env-adjacent
+    vertex and (d) eye-walk BSDF-sampled miss pickup (see the env section
+    of sample_pass).
 
     Returns (light_img with splats added, measured ray count)."""
     from bidirectional_pathtracing_tpu.ops import envlight
@@ -454,14 +477,25 @@ def _env_subpath_splats(scene: Scene, keys, width: int, height: int,
     center = jnp.broadcast_to(ctr, (s, 3))
     rad, o, d, pp, dp = envlight.sample_Le(scene.envmap, center, rad_b,
                                            u4, u2)
-    lp = _prepare_subpath(scene, o, d, jnp.maximum(pp, 1e-12),
-                          jnp.maximum(dp, 1e-12), rad, d, keys, 47, nv,
-                          EPS_F, INF_D, adjoint=True)
-    # path-density chains (the shared env dir_pdf cancels in the ratio):
+    lp, _ = _prepare_subpath(scene, o, d, jnp.maximum(pp, 1e-12),
+                             jnp.maximum(dp, 1e-12), rad, d, keys, 47, nv,
+                             EPS_F, INF_D, adjoint=True)
+    # path-density chains (the shared env dir_pdf cancels in the (b)/(c)
+    # ratio; strategy (d) replaces it with the BSDF's directional pdf, so
+    # its ratio carries the explicit B/E factor):
     #  p_c(t) = pdf_pos*|cos(n_w1, beam)| * prod pcL   (env-side order)
     #  p_b(t) = camdir*cos/d^2 * prod pbL              (camera-side order)
+    #  p_d(t) = p_b-spatial-chain * B_w1/E_beam  (same chain as (b); the
+    #           env-adjacent direction is BSDF-sampled, not env-sampled)
     pc_root = pdf_pos * jnp.abs(jnp.sum(lp.n[:, 2] * d, axis=-1))
+    # delta env-adjacent vertex: (b) cannot sample (env NEE through a
+    # delta is f=0) and (d)'s Dirac directional density dominates (c)'s
+    # continuous one on the restricted manifold -> w_c = 0, w_d = 1
+    # (sample_pass's delta_i rule carries the class).
     delta_w1 = _is_delta(scene, lp.mat[:, 2])
+    e_beam = jnp.maximum(dp, 1e-12)
+    # arrival wo at the env-adjacent vertex for t>=3 (only possible nv>=3)
+    w1_to_w2 = (_seg(lp.pos[:, 2], lp.pos[:, 3])[0] if nv >= 3 else None)
     pcl = jnp.ones((s,))
     pblint = jnp.ones((s,))
 
@@ -498,8 +532,20 @@ def _env_subpath_splats(scene: Scene, keys, width: int, height: int,
         cam_edge = _pdf_area_from(ci.dir_pdf, ci.point, vl_pos, vl_n)
         p_b = cam_edge * pblint * pbl_t
         p_c = pc_root * pcl
-        r = jnp.where(delta_w1, 0.0, p_b / jnp.maximum(p_c, 1e-30))
-        w_c = 1.0 / (1.0 + r * r)
+        r = p_b / jnp.maximum(p_c, 1e-30)
+        # strategy (d) of this class: the eye walk reaches the
+        # env-adjacent vertex (lp v2) through the same spatial chain as
+        # (b) and BSDF-samples the env direction; p_d/p_c = r * B/E.  No
+        # (d) strategy exists for the deepest class (the eye walk has no
+        # step from vertex nv).
+        if t < nv:
+            wo_w1 = conn if t == 2 else w1_to_w2
+            b_w1 = _mis_pdf_local(scene, lp.mat[:, 2], wo_w1, -d,
+                                  lp.n[:, 2])
+            r_d = r * b_w1 / e_beam
+        else:
+            r_d = jnp.zeros((s,))
+        w_c = jnp.where(delta_w1, 0.0, 1.0 / (1.0 + r * r + r_d * r_d))
         w_c = jnp.where(jnp.isfinite(w_c), w_c, 0.0)
 
         valid = lp.valid[:, t] & ci.in_frame
@@ -595,7 +641,7 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     u = rng.uniform(rng.fold(keys, 1), (2,))
     o, d = camera_ops.generate_ray(
         scene.camera, (px + u[:, 0]) / width, (py + u[:, 1]) / height)
-    eye = _prepare_subpath(
+    eye, (eye_step_d, eye_step_miss) = _prepare_subpath(
         scene, o, d, jnp.ones((s,)), jnp.ones((s,)), jnp.ones((s, 3)),
         d, keys, 10, nv, scene.camera.nclip, scene.camera.fclip)
 
@@ -606,7 +652,7 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
                                  rng.uniform(rng.fold(keys, 4), (2,)),
                                  rng.uniform(rng.fold(keys, 5), (2,)))
         point_pdf = le.point_pdf / nl_lights
-        light = _prepare_subpath(
+        light, _ = _prepare_subpath(
             scene, le.o, le.d, jnp.maximum(point_pdf, 1e-12), le.dir_pdf,
             le.radiance, le.normal, keys, 40, nv, EPS_F, INF_D,
             adjoint=True)
@@ -624,72 +670,140 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
     #   (a) env radiance on the PRIMARY miss (pathtracer.cpp:271-272) —
     #       the only sampler of the 0-surface-vertex class, weight 1;
     #   (b) env NEE at every non-delta eye vertex;
-    #   (c) [pure-env scenes] ENV LIGHT SUBPATHS: emission rays sampled
-    #       via envlight.sample_Le (CDF direction x disk origin, the pbrt
+    #   (c) ENV LIGHT SUBPATHS: emission rays sampled via
+    #       envlight.sample_Le (CDF direction x disk origin, the pbrt
     #       parallel-beam conventions), walked like any light subpath and
-    #       connected to the camera as light-image splats.
-    # A path class with k>=1 surface vertices is sampled by exactly (b)
-    # at its env-adjacent vertex and (c) with a k-vertex subpath, so the
-    # two carry power-2 MIS weights computed from the full path densities
-    # (_env_mis_chains); the partition is complete and the combined BDPT
-    # render still equals PT (tests/test_env_bdpt.py). ------------------
+    #       connected to the camera as light-image splats;
+    #   (d) eye-walk MISS pickup: when a BSDF-sampled walk step leaves the
+    #       scene, the env radiance along it is collected — the only
+    #       sampler able to reach env through ALL-DELTA chains (mirror /
+    #       glass showing the sky), which neither (b) (NEE at a delta is
+    #       f=0) nor (c) (camera connection through a delta is f=0) can.
+    # A path class with k>=1 surface vertices is sampled by (b) at its
+    # env-adjacent vertex, (c) with a k-vertex subpath, and (d) at the
+    # k-th walk step, so the three carry power-2 MIS weights computed
+    # from the full path densities; classes whose env-adjacent vertex is
+    # delta belong to (d) alone (its Dirac directional density dominates
+    # (c)'s continuous one on the restricted manifold), and the deepest
+    # class (env-adjacent at vertex nv) has no (d) sampler, so its (b)/(c)
+    # weights drop the p_d term.  The partition is complete and the
+    # converged BDPT render equals the pt_mis PT's (which adds the
+    # matching env pickup, models/pathtracer.py) — tests/test_env_bdpt.py.
+    # MIXED env+area scenes: the env families run UNCONDITIONALLY (their
+    # own dedicated subpath walk, selection probability 1 — the env does
+    # NOT join the area-light pick, so no selection pdf enters the
+    # densities).  Env-emission paths and area/point-light paths are
+    # DISJOINT path-space supports (a complete path includes its emitter:
+    # x_0 at infinity vs x_0 on a light surface), so (b)/(c)/(d) form the
+    # complete strategy set for every env path class and the area-light
+    # (s,t) families keep their own MIS untouched
+    # (tests/test_env_bdpt.py::test_bdpt_env_mixed_matches_pt). ----------
     env_rays = jnp.float32(0)
     if scene.envmap is not None:
         from bidirectional_pathtracing_tpu.ops import envlight
         from bidirectional_pathtracing_tpu.ops.intersect import (
             scene_occluded)
-        env_subpaths = nl_lights == 0   # (c) only when env is the sole light
-        if env_subpaths:
-            ctr, rad_b = _scene_bounds(scene)
-            pdf_pos = 1.0 / (jnp.pi * rad_b * rad_b)
+        ctr, rad_b = _scene_bounds(scene)
+        pdf_pos = 1.0 / (jnp.pi * rad_b * rad_b)
         if nv >= 2:
             d1 = eye.n[:, 1]             # camera ray dir (walk init normal)
             miss1 = ~eye.valid[:, 2]
             eye_L += jnp.where(miss1[:, None],
                                envlight.sample_dir(scene.envmap, d1), 0.0)
-        # (b) env NEE, weighted vs the (c) splat strategy of each class
+        # (b) env NEE + (d) walk-miss pickup, weighted vs each other and
+        # the (c) splat strategy of each class
         o_all, d_all, c_all, a_all = [], [], [], []
         pb_cum = jnp.ones((s,))          # camera-side pdf chain (area)
         pc_int = jnp.ones((s,))          # env-side interior pdf chain
+        # strategy (c) connects the path's camera-adjacent vertex (v2) to
+        # the camera explicitly; a delta v2 makes that connection f=0, so
+        # the p_c terms drop out of the (b) and (d) weights there (Veach
+        # delta-skip — the symmetric gate to delta_w1 in
+        # _env_subpath_splats)
+        delta_cam = _is_delta(scene, eye.mat[:, 2])
         for i in range(2, nv + 1):
             vi_valid = eye.valid[:, i] & ~_is_delta(scene, eye.mat[:, i])
             u4 = rng.uniform(rng.fold(keys, 5000 + i * 13), (4,))
             rad, wi_w, _dist, pdf = envlight.sample_L(
                 scene.envmap, eye.pos[:, i], u4)
+            pdf = jnp.maximum(pdf, 1e-12)
             o2w = make_coord_space(eye.n[:, i])
             wo_w, _ = _seg(eye.pos[:, i], eye.pos[:, i - 1])
             f = bsdf_ops.eval_f(scene.materials, eye.mat[:, i],
                                 to_local(o2w, wo_w), to_local(o2w, wi_w))
             cos = jnp.abs(jnp.sum(wi_w * eye.n[:, i], axis=-1))
-            contrib = (eye.alpha[:, i] * rad * f
-                       * (cos / jnp.maximum(pdf, 1e-12))[:, None])
-            if env_subpaths:
-                if i == 2:
-                    ci0 = camera_ops.sample_ray_pdf(scene.camera,
-                                                    eye.pos[:, 2], 1, 1)
-                    pb_cum = _pdf_area_from(
-                        ci0.dir_pdf, eye.pos[:, 1], eye.pos[:, 2],
-                        eye.n[:, 2])
-                else:
-                    # extend chains camera->v_i / env-interior to v_{i-1}
-                    pb_cum = pb_cum * _pdf_area_edge(
-                        scene, eye, i - 1, i - 2, i)
-                    if i >= 4:
-                        pc_int = pc_int * _pdf_area_edge(
-                            scene, eye, i - 1, i, i - 2)
-                # the env-arrival edge at v_i (pc root conversion + the
-                # env-adjacent sampled edge when i >= 3)
-                pc_env = pdf_pos * cos
+            contrib = (eye.alpha[:, i] * rad * f * (cos / pdf)[:, None])
+            if i == 2:
+                ci0 = camera_ops.sample_ray_pdf(scene.camera,
+                                                eye.pos[:, 2], 1, 1)
+                pb_cum = _pdf_area_from(
+                    ci0.dir_pdf, eye.pos[:, 1], eye.pos[:, 2],
+                    eye.n[:, 2])
+            else:
+                # extend chains camera->v_i / env-interior to v_{i-1}
+                pb_cum = pb_cum * _pdf_area_edge(
+                    scene, eye, i - 1, i - 2, i)
+                if i >= 4:
+                    pc_int = pc_int * _pdf_area_edge(
+                        scene, eye, i - 1, i, i - 2)
+
+            def _r_vs_c(env_dir, cos_i):
+                # p_c/p_b-chain ratio for the class whose env-adjacent
+                # edge leaves v_i along env_dir (area measures; the env
+                # directional pdf is NOT included — it cancels against
+                # (b)'s or is priced explicitly by (d))
+                pc_env = pdf_pos * cos_i
                 if i >= 3:
                     pc_env = pc_env * _pdf_area_edge(
-                        scene, eye, i, None, i - 1, arrival_w=wi_w)
-                r = pc_env * pc_int / jnp.maximum(pb_cum, 1e-30)
-                w_b = 1.0 / (1.0 + r * r)
-                contrib = contrib * w_b[:, None]
+                        scene, eye, i, None, i - 1, arrival_w=env_dir)
+                rv = pc_env * pc_int / jnp.maximum(pb_cum, 1e-30)
+                return jnp.where(delta_cam, 0.0, rv)
+
+            # (b): compete with (c) [r_cb] and (d) [r_db = B/E];
+            # the deepest class has no (d) sampler
+            r_cb = _r_vs_c(wi_w, cos)
+            if i < nv:
+                b_nee = bsdf_ops.mis_pdf(scene.materials, eye.mat[:, i],
+                                         to_local(o2w, wo_w),
+                                         to_local(o2w, wi_w))
+                r_db = b_nee / pdf
+            else:
+                r_db = jnp.zeros((s,))
+            w_b = 1.0 / (1.0 + r_cb * r_cb + r_db * r_db)
+            if _ENV_STRATEGY == "nee":
+                w_b = jnp.ones_like(w_b)
+            contrib = contrib * w_b[:, None]
             o_all.append(eye.pos[:, i])
             d_all.append(wi_w)
             c_all.append(jnp.where(vi_valid[:, None], contrib, 0.0))
             a_all.append(vi_valid)
+
+            # (d): the walk step FROM v_i (producing v_{i+1}) missed the
+            # scene — collect env radiance along it.  alpha at the
+            # would-be vertex i+1 is valid on misses (see
+            # _prepare_subpath); no extra rays are cast.
+            if i < nv and _ENV_STRATEGY != "nee":
+                d_m = eye_step_d[:, i - 1]
+                miss_m = eye_step_miss[:, i - 1] & eye.valid[:, i]
+                rad_d = envlight.sample_dir(scene.envmap, d_m)
+                contrib_d = eye.alpha[:, i + 1] * rad_d
+                delta_i = _is_delta(scene, eye.mat[:, i])
+                e_d = jnp.maximum(envlight.pdf_dir(scene.envmap, d_m),
+                                  1e-12)
+                b_d = jnp.maximum(
+                    bsdf_ops.mis_pdf(scene.materials, eye.mat[:, i],
+                                     to_local(o2w, wo_w),
+                                     to_local(o2w, d_m)), 1e-12)
+                r_b = e_d / b_d                       # p_b/p_d
+                cos_d = jnp.abs(jnp.sum(d_m * eye.n[:, i], axis=-1))
+                r_c = _r_vs_c(d_m, cos_d) * r_b       # p_c/p_d
+                w_d = jnp.where(delta_i, 1.0,
+                                1.0 / (1.0 + r_b * r_b + r_c * r_c))
+                ill_d = jnp.where(
+                    miss_m[:, None],
+                    jnp.where(jnp.isfinite(contrib_d), contrib_d, 0.0)
+                    * w_d[:, None], 0.0)
+                eye_L += jnp.where(jnp.isfinite(ill_d), ill_d, 0.0)
         if o_all:
             act = jnp.concatenate(a_all)
             blocked = scene_occluded(
@@ -700,7 +814,7 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
                 eye_L += jnp.where(blocked[j][:, None], 0.0, c)
             env_rays = jnp.sum(act.astype(jnp.float32))
         # (c) env light subpaths -> camera splats
-        if env_subpaths and nv >= 2:
+        if nv >= 2 and _ENV_STRATEGY != "nee":
             light_img, c_rays = _env_subpath_splats(
                 scene, keys, width, height, nv, ctr, rad_b, pdf_pos,
                 light_img, inv_ns_aa, cfg)
@@ -739,7 +853,8 @@ def sample_pass(scene: Scene, key, width: int, height: int, pixel_ids,
         blk = blk.reshape(len(seg_combos), s)
         blocked_by_combo = {c: blk[i] for i, c in enumerate(seg_combos)}
 
-    mis_tables = _mis_tables(scene, eye, light)
+    mis_tables = _mis_tables(scene, eye, light,
+                             consistent_camera=cfg.bdpt_consistent_camera)
     for (i_eye, i_light) in combos:
             ill, splat_xy, splat_mask = _estimate_radiance(
                 scene, i_eye, i_light, eye, light, keys,
@@ -889,6 +1004,7 @@ def _estimate_radiance(scene: Scene, i_eye: int, i_light: int,
                     else (jnp.zeros((s,), bool), jnp.zeros((s,)),
                           lambda _: jnp.zeros((s,))),
                     tables=tables,
+                    consistent_camera=cfg.bdpt_consistent_camera,
                     t1_reference=cfg.bdpt_reference_t1_mis)
     ill = jnp.where(big[:, None], contrib * w[:, None], 0.0)
     ill = jnp.where(jnp.isfinite(ill), ill, 0.0)

@@ -101,6 +101,14 @@ def _nee(scene: Scene, hit_p, hit_n, w_out_w, mid, keys, cfg: RenderConfig,
             blocked = scene_occluded(scene, hit_p, wi_w, EPS_F, INF_D)
             cos = jnp.abs(jnp.sum(wi_w * hit_n, axis=-1))
             contrib = rad * f * (cos / jnp.maximum(pdf, 1e-12))[..., None]
+            if mis:
+                # power-2 weight vs the BSDF-sampled env pickup
+                # (trace_radiance's bounce-miss collection) of the same
+                # path class
+                pdf_b = bsdf_ops.mis_pdf(scene.materials, mid, w_out, wi)
+                w = pdf * pdf / jnp.maximum(pdf * pdf + pdf_b * pdf_b,
+                                            1e-20)
+                contrib = contrib * w[..., None]
             acc += jnp.where(blocked[..., None], 0.0, contrib)
         total += acc / cfg.light_samples
     return total
@@ -244,6 +252,26 @@ def trace_radiance(scene: Scene, o, d, keys, cfg: RenderConfig,
         else:
             L += jnp.where((cont & nxt.valid & delta)[..., None],
                            throughput * weight * child_emit, 0.0)
+
+        # pt_mis EXTENSION: env radiance pickup on bounce-ray misses,
+        # power-2-weighted against the env NEE of the same path class
+        # (delta vertices keep weight 1 — NEE cannot see them).  This is
+        # the only PT strategy that reaches env through specular chains;
+        # the reference-parity default (pt_mis=False) terminates secondary
+        # misses black like the reference recursion (pathtracer.cpp:
+        # 190-255), and BDPT's env strategy (d) is the bidirectional
+        # counterpart (models/bdpt.py).
+        if (scene.envmap is not None and cfg.pt_mis
+                and not cfg.direct_hemisphere_sample):
+            from bidirectional_pathtracing_tpu.ops import envlight
+            env_rad = envlight.sample_dir(scene.envmap, wi_w)
+            pdf_e = envlight.pdf_dir(scene.envmap, wi_w)
+            w_e = bs.pdf * bs.pdf / jnp.maximum(
+                bs.pdf * bs.pdf + pdf_e * pdf_e, 1e-20)
+            w_e = jnp.where(delta, 1.0, w_e)
+            L += jnp.where((cont & ~nxt.valid)[..., None],
+                           throughput * weight * env_rad
+                           * w_e[..., None], 0.0)
 
         throughput = jnp.where(cont[..., None], throughput * weight,
                                throughput)

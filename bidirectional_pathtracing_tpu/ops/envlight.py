@@ -115,13 +115,10 @@ def sample_Le(env: Envmap, center, radius, u4, u2):
       point_pdf = 1/(pi r^2)   [area measure on the disk]
       dir_pdf   = CDF pdf      [solid angle]
 
-    NOTE this is a library capability + oracle-tested building block
-    (tests/test_envlight.py::test_env_sample_Le_*); the BDPT integrator
-    currently uses EYE-SIDE env strategies only (primary-miss radiance +
-    env NEE, models/bdpt.py) — wiring emission subpaths in without double
-    counting requires env-aware MIS across the two families, which is
-    deliberately out of scope (the strategy families would otherwise
-    overlap on every camera->surface...->env path).
+    Feeds BDPT strategy family (c): emission subpaths splatted to the
+    camera, MIS-weighted against the eye-side env strategies (env NEE and
+    eye-walk-miss pickup) of each path class — models/bdpt.py
+    _env_subpath_splats, tests/test_env_bdpt.py.
     """
     rad, w_dir, _dist, dir_pdf = sample_L(env, center, u4)
     # orthonormal frame around w
@@ -136,6 +133,24 @@ def sample_Le(env: Envmap, center, radius, u4, u2):
     d = -w_dir
     point_pdf = jnp.full(dir_pdf.shape, 1.0 / (PI * radius * radius))
     return rad, o, d, point_pdf, dir_pdf
+
+
+def pdf_dir(env: Envmap, d):
+    """Solid-angle pdf with which the 2-stage CDF sampler (sample_L /
+    sample_Le) produces direction d — the env light's MIS pdf for
+    arbitrary directions.  Used by BDPT strategy (d) (eye-walk miss env
+    pickup, models/bdpt.py) and the PT pt_mis env pickup
+    (models/pathtracer.py); the same p(w) formula as sample_L
+    (environment_light.cpp:138-169) evaluated at d's pixel."""
+    h, w = env.data.shape[:2]
+    x, y = _dir_to_xy(d, w, h)
+    xi = jnp.clip(x.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(y.astype(jnp.int32), 0, h - 1)
+    u = normalize(d)
+    sin_t = jnp.sqrt(jnp.maximum(
+        1.0 - jnp.clip(u[..., 1], -1.0, 1.0) ** 2, 0.0))
+    return env.pdf[yi, xi] * (w * h) / (2.0 * PI * PI
+                                        * jnp.maximum(sin_t, 1e-6))
 
 
 def sample_L(env: Envmap, p, u4):

@@ -36,8 +36,7 @@ def get_lib():
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
             _build_lib()
         lib = ctypes.CDLL(_SO)
-        lib.bvh_build.restype = ctypes.c_int64
-        lib.bvh_build.argtypes = [
+        sig = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -45,12 +44,19 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.bvh_build.restype = ctypes.c_int64
+        lib.bvh_build.argtypes = sig
+        lib.bvh_build_sah.restype = ctypes.c_int64
+        lib.bvh_build_sah.argtypes = sig
         _lib = lib
         return lib
 
 
-def bvh_build_native(lo: np.ndarray, hi: np.ndarray, max_leaf: int):
-    """Build a flattened pre-order BVH; see bvh_builder.cpp."""
+def bvh_build_native(lo: np.ndarray, hi: np.ndarray, max_leaf: int,
+                     sah: bool = False):
+    """Build a flattened pre-order BVH; see bvh_builder.cpp.  sah=True
+    uses the binned surface-area-heuristic split (bvh_build_sah) instead
+    of the reference's midpoint split."""
     lib = get_lib()
     n = lo.shape[0]
     cap = 2 * n + 2
@@ -67,7 +73,8 @@ def bvh_build_native(lo: np.ndarray, hi: np.ndarray, max_leaf: int):
     def p(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
-    n_nodes = lib.bvh_build(
+    fn = lib.bvh_build_sah if sah else lib.bvh_build
+    n_nodes = fn(
         p(lo, ctypes.c_double), p(hi, ctypes.c_double),
         ctypes.c_int64(n), ctypes.c_int64(max_leaf),
         p(bounds_lo, ctypes.c_float), p(bounds_hi, ctypes.c_float),

@@ -55,8 +55,12 @@ def build_bvh(geom: Geometry, max_leaf_size: int = 4) -> BVHArrays:
     )
 
 
-def _build_numpy(lo, hi, max_leaf_size):
-    """Pre-order recursive build; returns flat arrays + primitive order."""
+def _build_numpy(lo, hi, max_leaf_size, sah: bool = False):
+    """Pre-order recursive build; returns flat arrays + primitive order.
+
+    sah=True splits with a binned surface-area heuristic (16 bins, all 3
+    axes) instead of the reference's midpoint rule — same fallback role as
+    the native builder's bvh_build_sah (ops/native/bvh_builder.cpp)."""
     n = lo.shape[0]
     cent = (lo + hi) * 0.5
     order = np.arange(n)
@@ -64,6 +68,51 @@ def _build_numpy(lo, hi, max_leaf_size):
     bounds_lo, bounds_hi = [], []
     is_leaf, prim_start, prim_count, escape = [], [], [], []
     out_order = []
+
+    def _split_midpoint(idx, c):
+        ext = c.max(axis=0) - c.min(axis=0)
+        axis = int(np.argmax(ext))
+        mid = (c[:, axis].max() + c[:, axis].min()) * 0.5
+        return idx[c[:, axis] < mid], idx[c[:, axis] >= mid], axis
+
+    def _half_area(blo, bhi):
+        d = np.maximum(bhi - blo, 0.0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] \
+            + d[..., 2] * d[..., 0]
+
+    def _split_sah(idx, c):
+        NB = 16
+        cmin, cmax = c.min(axis=0), c.max(axis=0)
+        best = (np.inf, -1, -1.0)  # cost, axis, plane
+        for axis in range(3):
+            ext = cmax[axis] - cmin[axis]
+            if ext < 1e-12:
+                continue
+            b = np.clip(((c[:, axis] - cmin[axis]) * (NB / ext)).astype(
+                np.int64), 0, NB - 1)
+            cnt = np.bincount(b, minlength=NB)
+            blo = np.full((NB, 3), np.inf)
+            bhi = np.full((NB, 3), -np.inf)
+            for a in range(3):
+                np.minimum.at(blo[:, a], b, lo[idx, a])
+                np.maximum.at(bhi[:, a], b, hi[idx, a])
+            llo = np.minimum.accumulate(blo, axis=0)
+            lhi = np.maximum.accumulate(bhi, axis=0)
+            rlo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+            rhi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+            lcnt = np.cumsum(cnt)
+            rcnt = np.cumsum(cnt[::-1])[::-1]
+            for k in range(1, NB):
+                if lcnt[k - 1] == 0 or rcnt[k] == 0:
+                    continue
+                cost = _half_area(llo[k - 1], lhi[k - 1]) * lcnt[k - 1] \
+                    + _half_area(rlo[k], rhi[k]) * rcnt[k]
+                if cost < best[0]:
+                    best = (cost, axis, cmin[axis] + k * (ext / NB))
+        _, axis, plane = best
+        if axis < 0:
+            return _split_midpoint(idx, c)
+        return idx[c[:, axis] < plane], idx[c[:, axis] >= plane], axis
 
     def rec(idx):
         node_id = len(is_leaf)
@@ -82,11 +131,8 @@ def _build_numpy(lo, hi, max_leaf_size):
             out_order.extend(idx.tolist())
         else:
             c = cent[idx]
-            ext = c.max(axis=0) - c.min(axis=0)
-            axis = int(np.argmax(ext))
-            mid = (c[:, axis].max() + c[:, axis].min()) * 0.5
-            left = idx[c[:, axis] < mid]
-            right = idx[c[:, axis] >= mid]
+            left, right, axis = (_split_sah if sah else _split_midpoint)(
+                idx, c)
             if len(left) == 0 or len(right) == 0:
                 # degenerate: split by median of centroid order
                 srt = idx[np.argsort(c[:, axis], kind="stable")]

@@ -53,6 +53,15 @@ import os as _os
 SUBCLUSTERS = _os.environ.get("BDPT_TPU_SUBCLUSTERS", "auto")
 PAIR_AUTO_MAX_TRIS = 200_000
 
+# Cluster-cut split rule (VERDICT r04 #1).  "midpoint" reproduces the
+# reference's spatial-midpoint BVH split (bvh.cpp:51-129); "sah" uses the
+# binned surface-area-heuristic builder (ops/native/bvh_builder.cpp
+# bvh_build_sah) — lower-overlap leaf boxes mean a ray tile streams fewer
+# clusters.  The split rule is NOT part of the reference contract (only
+# closest-hit semantics are); A/B numbers in BENCH_NOTES.md decide the
+# default.
+CLUSTER_BUILD = _os.environ.get("BDPT_TPU_CLUSTER_BUILD", "midpoint")
+
 
 class ClusteredTris(NamedTuple):
     """Device arrays for the two-level clustered intersection kernel."""
@@ -116,11 +125,13 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _leaf_cut(geom, leaf_size: int):
+def _leaf_cut(geom, leaf_size: int, build: str | None = None):
     """Host-side BVH leaf cut: returns (leaves, bounds_lo, bounds_hi,
-    prim_start, prim_count, gids) or None when no triangles."""
+    prim_start, prim_count, gids) or None when no triangles.
+    build: "midpoint" | "sah" (None follows BDPT_TPU_CLUSTER_BUILD)."""
     from bidirectional_pathtracing_tpu.scene import bvh as bvh_mod
 
+    sah = (build or CLUSTER_BUILD) == "sah"
     # ONE device->host pull (f32 is exact: the stored data is f32); float64
     # copies of big meshes over a remote-TPU link dominated build time
     tri_p = np.asarray(geom.tri_p, np.float32)
@@ -132,9 +143,9 @@ def _leaf_cut(geom, leaf_size: int):
     hi = tri_p[tv].max(axis=1).astype(np.float64)
     try:
         from bidirectional_pathtracing_tpu.ops.native import bvh_build_native
-        nodes = bvh_build_native(lo, hi, leaf_size)
+        nodes = bvh_build_native(lo, hi, leaf_size, sah=sah)
     except Exception:
-        nodes = bvh_mod._build_numpy(lo, hi, leaf_size)
+        nodes = bvh_mod._build_numpy(lo, hi, leaf_size, sah=sah)
     (bounds_lo, bounds_hi, is_leaf, prim_start, prim_count, _escape,
      order) = nodes
     gids = ids[order]  # leaf-ordered global triangle ids
@@ -143,11 +154,13 @@ def _leaf_cut(geom, leaf_size: int):
 
 
 def build_clusters(geom, cluster_size: int = CLUSTER_SIZE,
-                   block_size: int = BLOCK_SIZE, paired: bool | None = None):
-    """Build the two-level cut from the reference BVH algorithm.
+                   block_size: int = BLOCK_SIZE, paired: bool | None = None,
+                   build: str | None = None):
+    """Build the two-level cut (midpoint or SAH leaf cut, see _leaf_cut).
 
     Returns ClusteredTris / PairedClusteredTris, or None when the scene
-    has no triangles.  paired=None follows BDPT_TPU_SUBCLUSTERS.
+    has no triangles.  paired=None follows BDPT_TPU_SUBCLUSTERS;
+    build=None follows BDPT_TPU_CLUSTER_BUILD.
     """
     import jax.numpy as jnp
 
@@ -155,12 +168,23 @@ def build_clusters(geom, cluster_size: int = CLUSTER_SIZE,
         if SUBCLUSTERS == "auto":
             n_valid = int(np.asarray(geom.tri_valid).sum())
             paired = n_valid <= PAIR_AUTO_MAX_TRIS
+            from bidirectional_pathtracing_tpu.ops import (
+                intersect_clustered as _ic)
+            if paired and _ic.SUBTILES > 1:
+                # the paired layout rejects SUBTILES>1 at dispatch; keep
+                # the documented knob functional by falling back to flat
+                import logging
+                logging.getLogger(__name__).info(
+                    "BDPT_TPU_SUBTILES=%d: auto cluster layout falls back "
+                    "to flat (paired does not support sub-tile masks)",
+                    _ic.SUBTILES)
+                paired = False
         else:
             paired = SUBCLUSTERS != "0"
     if paired:
-        return build_paired_clusters(geom)
+        return build_paired_clusters(geom, build=build)
 
-    cut = _leaf_cut(geom, cluster_size)
+    cut = _leaf_cut(geom, cluster_size, build)
     if cut is None:
         return None
     leaves, bounds_lo, bounds_hi, prim_start, prim_count, gids, tri_p = cut
@@ -199,13 +223,13 @@ def build_clusters(geom, cluster_size: int = CLUSTER_SIZE,
     )
 
 
-def build_paired_clusters(geom):
+def build_paired_clusters(geom, build: str | None = None):
     """Build the PAIRED sub-cluster layout: 64-leaf BVH cut, two subs per
     128-lane row, A/B bound-row split per block (see PairedClusteredTris).
     """
     import jax.numpy as jnp
 
-    cut = _leaf_cut(geom, SUB_SIZE)
+    cut = _leaf_cut(geom, SUB_SIZE, build)
     if cut is None:
         return None
     leaves, bounds_lo, bounds_hi, prim_start, prim_count, gids, tri_p = cut

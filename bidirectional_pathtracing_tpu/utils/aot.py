@@ -18,10 +18,14 @@ r04 on the small CBspheres_lambertian step: 24.4 s (lower 9.3 + compile
 
 Keys cover everything that can change the program: jax version, backend +
 device kind + device count, a digest of the package's .py sources (kernel
-edits invalidate), the traced config repr, static dims, and every dynamic
-operand's shape/dtype.  Entries live in BDPT_TPU_AOT_DIR (default
-/tmp/bdpt_aot).  Set BDPT_TPU_AOT=0 to disable; any load/compile error
-falls back to the plain jit path.
+edits invalidate), the BDPT_TPU_* env knobs baked into the kernels at
+import (TILE_R, SUBTILES, sort modes, RNG impl, cluster layout/build),
+the traced config repr, static dims, and every dynamic operand's
+shape/dtype.  Entries live in BDPT_TPU_AOT_DIR (default: a 0700
+user-owned dir under $XDG_CACHE_HOME or ~/.cache — executables are
+unpickled, so the directory must not be attacker-writable).  Set
+BDPT_TPU_AOT=0 to disable; any load/compile error falls back to the
+plain jit path.
 """
 
 from __future__ import annotations
@@ -36,8 +40,28 @@ import jax
 
 log = logging.getLogger(__name__)
 
-AOT_DIR = os.environ.get("BDPT_TPU_AOT_DIR", "/tmp/bdpt_aot")
+
+def _default_aot_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(base, "bdpt_aot")
+
+
+AOT_DIR = os.environ.get("BDPT_TPU_AOT_DIR", _default_aot_dir())
 ENABLED = os.environ.get("BDPT_TPU_AOT", "1") != "0"
+
+# env knobs that change the compiled program without changing operand
+# shapes or the traced config — they must key the executable (an A/B
+# sweep run with different knob values would otherwise silently load an
+# executable compiled under the other setting)
+_KNOB_VARS = ("BDPT_TPU_TILE_R", "BDPT_TPU_SUBTILES", "BDPT_TPU_SORT",
+              "BDPT_TPU_WALK_SORT", "BDPT_TPU_SUBCLUSTERS",
+              "BDPT_TPU_CLUSTER_BUILD", "BDPT_TPU_RNG",
+              "BDPT_TPU_ENV_STRATEGY")
+
+
+def _knob_desc() -> str:
+    return ";".join(f"{k}={os.environ.get(k, '')}" for k in _KNOB_VARS)
 
 _src_digest_cache = None
 _loaded = {}   # key -> compiled executable (per-process memo)
@@ -69,7 +93,7 @@ def step_key(fn_name: str, dynamic_args, static_desc: str) -> str:
     back = jax.default_backend()
     devs = jax.devices()
     parts = [jax.__version__, back, devs[0].device_kind, str(len(devs)),
-             _source_digest(), fn_name, static_desc,
+             _source_digest(), _knob_desc(), fn_name, static_desc,
              repr(_abstractify(dynamic_args))]
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:32]
 
@@ -112,6 +136,12 @@ def get_step(jitted_fn, fn_name: str, example_args, n_static_prefix_after):
 
     if os.path.exists(path):
         try:
+            # unpickling executes arbitrary code: refuse entries planted
+            # by another uid (the dir default is 0700, but AOT_DIR is
+            # user-overridable to shared locations)
+            if os.stat(path).st_uid != os.getuid():
+                raise PermissionError(f"{path} not owned by uid "
+                                      f"{os.getuid()}; refusing to unpickle")
             from jax.experimental import serialize_executable as se
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
@@ -133,7 +163,7 @@ def get_step(jitted_fn, fn_name: str, example_args, n_static_prefix_after):
         try:
             from jax.experimental import serialize_executable as se
             payload, in_tree, out_tree = se.serialize(compiled)
-            os.makedirs(AOT_DIR, exist_ok=True)
+            os.makedirs(AOT_DIR, mode=0o700, exist_ok=True)
             tmp = path + f".tmp{os.getpid()}"
             with open(tmp, "wb") as f:
                 pickle.dump((payload, in_tree, out_tree), f)

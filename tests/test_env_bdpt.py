@@ -39,10 +39,37 @@ def test_bdpt_env_subpath_splats_fast():
 
 
 
+def test_bdpt_env_mixed_smoke_fast():
+    """MIXED env+area scene (VERDICT r04 #3): the env subpath family runs
+    alongside the area-light (s,t) families — finite output, env splats
+    land in the light image."""
+    import numpy as np
+    from bidirectional_pathtracing_tpu.config import RenderConfig
+    from bidirectional_pathtracing_tpu.utils.render import render
+    scene = _mixed_scene(w=40, h=30)
+    res = render(scene, RenderConfig(spp=4, max_ray_depth=4, width=40,
+                                     height=30, integrator="bdpt"))
+    assert np.isfinite(res.combined).all()
+    assert res.combined.mean() > 0.01
+    assert res.light.sum() > 0.0
+
+
 def _scene_with_env():
     from examples.inverse_rendering import _env_image, _open_scene
     from bidirectional_pathtracing_tpu.ops import envlight
     scene = _open_scene()
+    return scene._replace(envmap=envlight.build_envmap(_env_image()))
+
+
+def _mixed_scene(w=60, h=45):
+    """CBspheres_lambertian (area light + diffuse spheres) with an envmap
+    attached — the reference's normal `-e` path appends the env light to
+    scene->lights (raytraced_renderer.cpp:117-119)."""
+    from examples.inverse_rendering import _env_image
+    from bidirectional_pathtracing_tpu.ops import envlight
+    from bidirectional_pathtracing_tpu.scene.build import load_scene
+    scene, _ = load_scene(
+        f"{REFERENCE}/dae/sky/CBspheres_lambertian.dae", w, h)
     return scene._replace(envmap=envlight.build_envmap(_env_image()))
 
 
@@ -70,6 +97,96 @@ def test_bdpt_env_matches_pt():
     assert err.max() < 0.25, err.max()
     # the env actually contributes (scene has no analytic lights)
     assert bdpt_img.mean() > 0.05
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+def test_bdpt_env_mixed_matches_pt():
+    """Partition check on a MIXED env+area scene: env-emission paths and
+    area-light paths are disjoint path-space supports, each with its own
+    complete MIS partition ((b)/(c) for env classes, the (s,t) families
+    for area classes), so converged BDPT must equal converged PT.
+    pt_reference_nee=False: the reference PT's 1/d^3 NEE quirk is ~20%
+    dark on Cornell scenes (BENCH_NOTES r04) and would fail any
+    cross-integrator comparison."""
+    from bidirectional_pathtracing_tpu.config import RenderConfig
+    from bidirectional_pathtracing_tpu.utils.render import render
+    scene = _mixed_scene()
+    imgs = {}
+    for integ in ("bdpt", "pt"):
+        cfg = RenderConfig(spp=48, max_ray_depth=4, width=60, height=45,
+                           integrator=integ, pt_reference_nee=False)
+        imgs[integ] = render(scene, cfg).combined
+    a, b = _blocks(imgs["bdpt"]), _blocks(imgs["pt"])
+    err = np.abs(a - b) / (np.abs(b) + 0.05)
+    assert err.mean() < 0.05, (err.mean(), err.max())
+    assert err.max() < 0.25, err.max()
+    # both light families actually contribute: darker than env-only+area
+    # sum would be if either were dropped — sanity: image is lit
+    assert imgs["bdpt"].mean() > 0.05
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+def test_bdpt_env_mixed_specular_matches_pt():
+    """Mixed env+area with DELTA BSDFs in view (mirror + glass spheres):
+    exercises the full three-way env MIS — (b) NEE with the camera-vertex
+    delta-skip (ADVICE r04 #1), (c) subpath splats, (d) walk-miss pickup
+    through specular chains — on top of the mixed-scene gate.  Referee is
+    the pt_mis PT: the reference-parity PT terminates secondary misses
+    black and cannot see env through speculars (BENCH_NOTES r05)."""
+    from examples.inverse_rendering import _env_image
+    from bidirectional_pathtracing_tpu.ops import envlight
+    from bidirectional_pathtracing_tpu.scene.build import load_scene
+    from bidirectional_pathtracing_tpu.config import RenderConfig
+    from bidirectional_pathtracing_tpu.utils.render import render
+    scene, _ = load_scene(f"{REFERENCE}/dae/sky/CBspheres.dae", 60, 45)
+    scene = scene._replace(envmap=envlight.build_envmap(_env_image()))
+    imgs = {}
+    for integ, ptmis in (("bdpt", False), ("pt", True)):
+        cfg = RenderConfig(spp=64, max_ray_depth=5, width=60, height=45,
+                           integrator=integ, pt_reference_nee=False,
+                           pt_mis=ptmis)
+        imgs[integ] = render(scene, cfg).combined
+    a, b = _blocks(imgs["bdpt"]), _blocks(imgs["pt"])
+    err = np.abs(a - b) / (np.abs(b) + 0.05)
+    assert err.mean() < 0.06, (err.mean(), err.max())
+
+
+@pytest.mark.slow
+def test_bdpt_env_specular_chains_match_mis_pt():
+    """Pure-env scene with ONLY delta spheres (mirror+mirror): the env
+    seen via specular chains is sampled exclusively by strategy (d)
+    (walk-miss pickup) on the BDPT side and the pt_mis bounce-miss pickup
+    on the PT side; converged images must agree.  (Without (d) this
+    measured an 8.8% systematic gap — BENCH_NOTES r05.)"""
+    import jax.numpy as jnp
+    from examples.inverse_rendering import _env_image
+    from bidirectional_pathtracing_tpu.ops import envlight
+    from bidirectional_pathtracing_tpu.scene.procedural import (
+        make_cornell_box)
+    from bidirectional_pathtracing_tpu.scene.types import make_lights
+    from bidirectional_pathtracing_tpu.config import RenderConfig
+    from bidirectional_pathtracing_tpu.utils.render import render
+    scene = make_cornell_box(sphere_materials=("mirror", "glass"))
+    mats = scene.materials._replace(
+        emission=jnp.zeros_like(scene.materials.emission))
+    scene = scene._replace(lights=make_lights([]), materials=mats,
+                           envmap=envlight.build_envmap(_env_image()))
+    imgs = {}
+    for integ, ptmis in (("bdpt", False), ("pt", True)):
+        per_seed = []
+        for seed in range(2):
+            cfg = RenderConfig(spp=48, max_ray_depth=5, width=60, height=45,
+                               integrator=integ, pt_reference_nee=False,
+                               pt_mis=ptmis, seed=seed)
+            per_seed.append(np.asarray(render(scene, cfg).combined))
+        imgs[integ] = np.stack(per_seed).mean(0)
+    a, b = _blocks(imgs["bdpt"]), _blocks(imgs["pt"])
+    err = np.abs(a - b) / (np.abs(b) + 0.05)
+    assert err.mean() < 0.05, (err.mean(), err.max())
+    # the specular-env classes actually light the scene (mirror shows sky)
+    assert imgs["bdpt"].mean() > 0.1
 
 
 @pytest.mark.slow

@@ -156,3 +156,57 @@ def _check_partition(path_spec, consistent_camera, tol, interior_mat=0):
     # reference exactly (verified via path replay), so the partition of
     # unity holds only to a few percent near the view axis.
     assert abs(total - 1.0) < tol, (weights, total)
+
+
+def test_consistent_camera_config_wiring_fast():
+    """RenderConfig.bdpt_consistent_camera (VERDICT r04 #5) reaches the
+    integrator: the Veach-exact camera-step pricing produces a slightly
+    different (same-expectation) image than the reference-parity default
+    on the same sample stream."""
+    from bidirectional_pathtracing_tpu.scene.procedural import (
+        make_cornell_box)
+    from bidirectional_pathtracing_tpu.utils.render import render
+    scene = make_cornell_box()
+    imgs = {}
+    for cc in (False, True):
+        cfg = RenderConfig(spp=4, max_ray_depth=3, width=24, height=18,
+                           integrator="bdpt", bdpt_consistent_camera=cc)
+        imgs[cc] = np.asarray(render(scene, cfg).combined)
+    # same paths, different MIS weights: images differ per-pixel; the
+    # convention bend is smallest near the view axis (it grows toward
+    # frame edges with the camera-step cosine factors), so compare means
+    # over the central third (the quantitative full-frame check is
+    # test_consistent_camera_golden_level)
+    assert not np.array_equal(imgs[False], imgs[True])
+    ctr = (slice(6, 12), slice(8, 16))
+    rel = abs(imgs[False][ctr].mean() - imgs[True][ctr].mean()) \
+        / (imgs[False][ctr].mean() + 1e-9)
+    assert rel < 0.06, rel
+
+
+@pytest.mark.slow
+def test_consistent_camera_golden_level():
+    """Both camera-MIS conventions converge to the same image on
+    CBspheres_lambertian (quantifying the few-percent view-axis effect:
+    block-mean relative gap stays small, VERDICT r04 #5)."""
+    import os
+    from bidirectional_pathtracing_tpu.scene.build import load_scene
+    from bidirectional_pathtracing_tpu.utils.render import render
+    ref = "/root/reference"
+    if not os.path.isdir(ref):
+        pytest.skip("no reference assets")
+    scene, _ = load_scene(f"{ref}/dae/sky/CBspheres_lambertian.dae", 60, 45)
+    imgs = {}
+    for cc in (False, True):
+        cfg = RenderConfig(spp=32, max_ray_depth=5, width=60, height=45,
+                           integrator="bdpt", bdpt_consistent_camera=cc)
+        imgs[cc] = np.asarray(render(scene, cfg).combined)
+
+    def blocks(img, nb=6):
+        bh, bw = img.shape[0] // nb, img.shape[1] // nb
+        return img[:bh * nb, :bw * nb].reshape(nb, bh, nb, bw, 3).mean((1, 3))
+
+    a, b = blocks(imgs[False]), blocks(imgs[True])
+    err = np.abs(a - b) / (np.abs(b) + 0.05)
+    # identical estimand; weight convention shifts variance a few percent
+    assert err.mean() < 0.03, (err.mean(), err.max())
