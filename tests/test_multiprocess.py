@@ -1,13 +1,17 @@
-"""2-process distributed render == single-process render, bitwise.
+"""Multi-process distributed render == single-process render, bitwise.
 
-Launches two real OS processes (gloo CPU collectives, 2 virtual devices
-each -> a 4-device global mesh), renders a tiny BDPT frame through
-parallel/launch.py, and compares against the same render on this process's
-single-host 8-device mesh AND the plain driver.  The counter-based RNG
-makes all three bitwise identical (SURVEY.md section 2.5 determinism row).
+Launches real OS processes (gloo CPU collectives, 2 virtual devices
+each), renders a tiny BDPT frame through parallel/launch.py, and compares
+against the same render on this process's single-host 8-device mesh AND
+the plain driver.  The counter-based RNG makes all of them bitwise
+identical (SURVEY.md section 2.5 determinism row).  Two matrix points:
+
+  * 2 processes x 2 devices -> 4-device global mesh (dp2 x sp2)
+  * 4 processes x 2 devices -> 8-device global mesh (dp4 x sp2), the
+    VERDICT r04 #6 hardening: the dp axis crosses THREE process
+    boundaries, so frame assembly gathers slabs that never share a host.
 """
 
-import json
 import os
 import socket
 import subprocess
@@ -27,7 +31,7 @@ pytestmark = [
 SCENE = f"{REFERENCE}/dae/sky/CBspheres_lambertian.dae"
 W, H, SPP, DEPTH = 32, 24, 2, 3
 
-WORKER = textwrap.dedent("""
+WORKER_TMPL = textwrap.dedent("""
     import os, sys, json
     pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
     # the axon sitecustomize may have imported jax already; env vars are
@@ -37,10 +41,11 @@ WORKER = textwrap.dedent("""
     jax.config.update("jax_num_cpu_devices", 2)
     sys.path.insert(0, %(repo)r)
     from bidirectional_pathtracing_tpu.parallel import launch
-    launch.initialize("127.0.0.1:" + port, num_processes=2, process_id=pid)
+    launch.initialize("127.0.0.1:" + port, num_processes=%(nprocs)d,
+                      process_id=pid)
     import jax
-    assert jax.process_count() == 2
-    assert len(jax.devices()) == 4
+    assert jax.process_count() == %(nprocs)d
+    assert len(jax.devices()) == %(nprocs)d * 2
     from bidirectional_pathtracing_tpu.config import RenderConfig
     from bidirectional_pathtracing_tpu.scene.build import load_scene
     cfg = RenderConfig(spp=%(spp)d, max_ray_depth=%(depth)d, width=%(w)d,
@@ -51,7 +56,7 @@ WORKER = textwrap.dedent("""
         import numpy as np
         np.savez(out, eye=eye, light=light, combined=combined)
     print("proc", pid, "ok")
-""") % dict(repo="/root/repo", scene=SCENE, w=W, h=H, spp=SPP, depth=DEPTH)
+""")
 
 
 def _free_port():
@@ -62,23 +67,26 @@ def _free_port():
     return port
 
 
-def test_two_process_render_bitwise_equal(tmp_path):
-    out = str(tmp_path / "mp.npz")
+def _run_multiprocess(nprocs, out):
+    worker = WORKER_TMPL % dict(repo="/root/repo", scene=SCENE, w=W, h=H,
+                                spp=SPP, depth=DEPTH, nprocs=nprocs)
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     procs = [subprocess.Popen(
-        [sys.executable, "-c", WORKER, str(i), port, out],
+        [sys.executable, "-c", worker, str(i), port, out],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        env=env, cwd="/root/repo") for i in range(2)]
+        env=env, cwd="/root/repo") for i in range(nprocs)]
     logs = []
     for p in procs:
         o, _ = p.communicate(timeout=560)
         logs.append(o.decode())
     assert all(p.returncode == 0 for p in procs), "\n".join(logs)
-    mp = np.load(out)
+    return np.load(out)
 
-    # single-process oracle on this process's 8 virtual devices
+
+def _single_process_oracle():
+    """The same frame on this process's 8 virtual devices (dp4 x sp2)."""
     from bidirectional_pathtracing_tpu.config import RenderConfig
     from bidirectional_pathtracing_tpu.parallel.render import (
         make_render_mesh, render_frame_sharded)
@@ -87,8 +95,22 @@ def test_two_process_render_bitwise_equal(tmp_path):
                        integrator="bdpt", seed=0)
     scene, _ = load_scene(SCENE, W, H)
     mesh = make_render_mesh(sp=2)
-    eye1, light1, combined1 = render_frame_sharded(scene, cfg, mesh=mesh)
+    return render_frame_sharded(scene, cfg, mesh=mesh)
 
+
+def test_two_process_render_bitwise_equal(tmp_path):
+    mp = _run_multiprocess(2, str(tmp_path / "mp2.npz"))
+    eye1, light1, combined1 = _single_process_oracle()
+    np.testing.assert_array_equal(mp["eye"], np.asarray(eye1))
+    np.testing.assert_array_equal(mp["light"], np.asarray(light1))
+    np.testing.assert_array_equal(mp["combined"], np.asarray(combined1))
+
+
+def test_four_process_render_bitwise_equal(tmp_path):
+    """4 gloo processes x 2 virtual devices = the full 8-device dp4 x sp2
+    mesh split across process boundaries (VERDICT r04 #6)."""
+    mp = _run_multiprocess(4, str(tmp_path / "mp4.npz"))
+    eye1, light1, combined1 = _single_process_oracle()
     np.testing.assert_array_equal(mp["eye"], np.asarray(eye1))
     np.testing.assert_array_equal(mp["light"], np.asarray(light1))
     np.testing.assert_array_equal(mp["combined"], np.asarray(combined1))
