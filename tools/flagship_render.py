@@ -3,15 +3,19 @@ block-by-block against the reference's committed goldens
 (/root/reference/assets/CB{spheres,gems}_bdpt_128.png, README.md:5-9).
 
     python tools/flagship_render.py [scene ...]
-    # default: spheres gems bunny; "lucy" renders the 457k-tri
+    # default: spheres gems bunny lucy; "lucy" renders the 457k-tri
     # Loop-subdivided bunny (the CBlucy stand-in: CBlucy.dae is a missing
-    # blob per /root/reference/.MISSING_LARGE_BLOBS) at 480x360 8spp —
-    # the end-to-end large-scene demonstration (VERDICT r02 item 4).
+    # blob per /root/reference/.MISSING_LARGE_BLOBS) — the end-to-end
+    # large-scene convergence demonstration (VERDICT r04 #2).
 
 Writes artifacts/CB<scene>_bdpt_128.png (+ _eye/_light) and
-artifacts/FLAGSHIP.json with wall time, measured Mrays/s, and the 8x8
-block error vs the reference PNG in tonemapped sRGB space (scenes with a
-reference golden only).
+artifacts/FLAGSHIP.json with a UNIFORM schema per row: 128 spp, compile_s
++ aot_warm (post-AOT steady state), wall time, measured Mrays/s, and 8x8
+block error in tonemapped sRGB space against a parity referee — the
+reference's committed golden PNG when one exists (spheres, gems), else a
+converged same-spp MIS-PT render (pt_mis + pt_reference_nee=False, the
+cross-integrator referee of tests/test_microfacet.py) for bunny/lucy,
+whose scenes have no committed reference golden.
 """
 
 import json
@@ -27,7 +31,7 @@ SCENES = {
     "spheres": ("CBspheres", 5, 128),
     "gems": ("CBgems", 8, 128),
     "bunny": ("CBbunny", 5, 128),
-    "lucy": ("CBbunny_up2", 5, 8),
+    "lucy": ("CBbunny_up2", 5, 128),
 }
 
 
@@ -53,7 +57,7 @@ def block_err(a, b, nb=8, floor=8.0):
 
 
 def main():
-    names = sys.argv[1:] or ["spheres", "gems", "bunny"]
+    names = sys.argv[1:] or ["spheres", "gems", "bunny", "lucy"]
     os.makedirs("artifacts", exist_ok=True)
 
     import jax
@@ -136,13 +140,28 @@ def main():
             "rays_per_sample": round(res.stats["rays_per_sample"], 2),
             "tris": aux["num_tris"],
         }
+        mine = read_png(out)[..., :3]
         ref_png = f"/root/reference/assets/{scene_name}_bdpt_128.png"
         if os.path.exists(ref_png) and spp == 128:
-            mine = read_png(out)[..., :3]
             ref = read_png(ref_png)[..., :3]
-            e = block_err(mine, ref)
-            row["block_err_mean"] = round(float(e.mean()), 4)
-            row["block_err_max"] = round(float(e.max()), 4)
+            row["referee"] = "reference_png"
+        else:
+            # no committed reference golden for this scene: referee with a
+            # converged same-spp MIS-PT render (cross-integrator parity;
+            # the two estimators share no strategy weights, so block-level
+            # agreement is a real convergence check)
+            cfg_ref = RenderConfig(
+                spp=spp, max_ray_depth=depth, width=480, height=360,
+                integrator="pt", light_samples=2, pt_reference_nee=False,
+                pt_mis=True)
+            res_ref = render(scene, cfg_ref)
+            ref_out = f"artifacts/{scene_name}_ptmis_{spp}.png"
+            img.save_image(ref_out, res_ref.combined)
+            ref = read_png(ref_out)[..., :3]
+            row["referee"] = f"pt_mis_{spp}"
+        e = block_err(mine, ref)
+        row["block_err_mean"] = round(float(e.mean()), 4)
+        row["block_err_max"] = round(float(e.max()), 4)
         results[scene_name] = row
         print(scene_name, row, flush=True)
 
