@@ -58,9 +58,14 @@ PAIR_AUTO_MAX_TRIS = 200_000
 # binned surface-area-heuristic builder (ops/native/bvh_builder.cpp
 # bvh_build_sah) — lower-overlap leaf boxes mean a ray tile streams fewer
 # clusters.  The split rule is NOT part of the reference contract (only
-# closest-hit semantics are); A/B numbers in BENCH_NOTES.md decide the
-# default.
-CLUSTER_BUILD = _os.environ.get("BDPT_TPU_CLUSTER_BUILD", "midpoint")
+# closest-hit semantics are).  On-chip A/B (artifacts/CLUSTER_BUILD_AB
+# .json, two warm quiet-host repetitions): SAH wins every production
+# cell — CBbunny paired +3.6%, 114k-tri CBbunny_up1 paired +1.7..3.2%,
+# 457k-tri CBlucy_standin flat +2.1..2.8% — matching the offline
+# streamed-visit study (tools/profiling/cut_quality_study.py, -4..-6%
+# visits), so "sah" is the default.  The per-visit compute floor, not
+# the cut, bounds large-scene throughput (BENCH_NOTES.md).
+CLUSTER_BUILD = _os.environ.get("BDPT_TPU_CLUSTER_BUILD", "sah")
 
 
 class ClusteredTris(NamedTuple):

@@ -131,7 +131,11 @@ def test_clustered_sparse_walk_bit31():
     Geometry: 32 groups of 128 triangles along x (one BVH leaf/cluster
     each, pre-order = x order); groups 1..30 are offset +50 in y, groups 0
     and 31 sit at y=0.  A tile of rays marching along +x at y~0 slab-hits
-    only clusters 0 and 31 -> survivor mask 0x80000001, popcount 2."""
+    only clusters 0 and 31 -> survivor mask 0x80000001, popcount 2.
+
+    Pinned to the midpoint cut: the engineered mask relies on its
+    deterministic x-order leaf numbering (the SAH default may reorder
+    leaves; the bit-31 edge under test is cut-agnostic)."""
     rng = np.random.default_rng(31)
     groups = []
     for i in range(32):
@@ -146,7 +150,7 @@ def test_clustered_sparse_walk_bit31():
     n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     geom = make_geometry(tri_p, np.repeat(n[:, None, :], 3, axis=1),
                          np.zeros((tri_p.shape[0],), np.int32))
-    clusters = build_clusters(geom, paired=False)
+    clusters = build_clusters(geom, paired=False, build="midpoint")
     assert clusters.n_clusters == 32 and clusters.n_blocks == 1
 
     o = np.array([-50.0, 0.0, 0.0]) + rng.uniform(-0.2, 0.2, (256, 3))
