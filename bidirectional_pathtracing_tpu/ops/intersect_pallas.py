@@ -142,6 +142,32 @@ def make_tri_soa(geom: Geometry):
     return soa.at[:, :t].set(flat)
 
 
+# Winner-resolve gather strategy.  geom.tri_p[tid] on [R] winners
+# compiles to a f32[R,3,3] gather + layout copy that measured ~10% of the
+# whole CBspheres BDPT step (r05 HLO/trace: copy.1619/1634 + slice.22202/
+# 22279 on the eye+light walk resolves).  For tiny tables the same rows
+# come out of one one-hot [R,Tpad] @ [Tpad,19] MXU matmul at negligible
+# cost (CBspheres Tpad=128: 0.4 GFLOP/step).  Bigger brute scenes (up to
+# _PALLAS_MAX_TRIS) keep the plain gather — a [R,8192] one-hot would cost
+# more HBM than the gather saves.
+ONEHOT_RESOLVE_MAX_TRIS = 512
+
+
+def _resolve_table(geom: Geometry):
+    """[Tpad, 19] per-triangle resolve rows: v0|e1|e2|n0|n1-n0|n2-n0|mat
+    (mat as f32 — small ints are exact; -1 rows for padding)."""
+    t = geom.num_tris
+    tpad = _ceil_to(max(t, 8), 128)
+    tp = geom.tri_p[:t]
+    tn = geom.tri_n[:t]
+    rows = jnp.concatenate([
+        tp[:, 0], tp[:, 1] - tp[:, 0], tp[:, 2] - tp[:, 0],
+        tn[:, 0], tn[:, 1] - tn[:, 0], tn[:, 2] - tn[:, 0],
+        geom.tri_mat[:t, None].astype(jnp.float32)], axis=1)
+    table = jnp.full((tpad, 19), -1.0, jnp.float32)
+    return table.at[:t].set(rows)
+
+
 def intersect_pallas(geom: Geometry, tri_soa, o, d, min_t, max_t,
                      interpret=False) -> Hit:
     """Closest-hit via the Pallas triangle kernel + jnp spheres."""
@@ -154,25 +180,34 @@ def intersect_pallas(geom: Geometry, tri_soa, o, d, min_t, max_t,
     tri_hit = (fidx >= 0) & (t < INF_D)
 
     # recompute barycentrics/normal for the winning triangle only
-    tp = geom.tri_p[tid]
-    e1 = tp[:, 1] - tp[:, 0]
-    e2 = tp[:, 2] - tp[:, 0]
-    sv = o - tp[:, 0]
+    if geom.num_tris <= ONEHOT_RESOLVE_MAX_TRIS:
+        table = _resolve_table(geom)
+        oh = (tid[:, None] == jnp.arange(table.shape[0], dtype=jnp.int32)
+              [None, :]).astype(jnp.float32)
+        rows = oh @ table                               # [R, 19] via MXU
+        v0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+        n0, dn1, dn2 = rows[:, 9:12], rows[:, 12:15], rows[:, 15:18]
+        mat_tri = rows[:, 18].astype(jnp.int32)
+    else:
+        tp = geom.tri_p[tid]
+        v0, e1, e2 = tp[:, 0], tp[:, 1] - tp[:, 0], tp[:, 2] - tp[:, 0]
+        tn = geom.tri_n[tid]
+        n0, dn1, dn2 = tn[:, 0], tn[:, 1] - tn[:, 0], tn[:, 2] - tn[:, 0]
+        mat_tri = geom.tri_mat[tid]
+    sv = o - v0
     s1 = jnp.cross(d, e2)
     s2 = jnp.cross(sv, e1)
     den = jnp.sum(s1 * e1, axis=-1)
     inv = jnp.where(den == 0, 0.0, 1.0 / jnp.where(den == 0, 1.0, den))
     b1 = jnp.sum(s1 * sv, axis=-1) * inv
     b2 = jnp.sum(s2 * d, axis=-1) * inv
-    tn = geom.tri_n[tid]
-    n_tri = (tn[:, 0] * (1 - b1 - b2)[:, None] + tn[:, 1] * b1[:, None]
-             + tn[:, 2] * b2[:, None])
+    n_tri = n0 + dn1 * b1[:, None] + dn2 * b2[:, None]
     n_tri = n_tri / jnp.maximum(
         jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-20)
 
     best_t = jnp.where(tri_hit, t, INF_D)
     best_n = jnp.where(tri_hit[:, None], n_tri, 0.0)
-    best_mat = jnp.where(tri_hit, geom.tri_mat[tid], -1)
+    best_mat = jnp.where(tri_hit, mat_tri, -1)
     best_prim = jnp.where(tri_hit, tid, -1)
 
     if geom.num_spheres > 0:
