@@ -79,6 +79,26 @@ def main():
     step_s = (time.perf_counter() - t0) / reps
 
     fus_s = step_s * fusion_share
+    # attribute the trace's standalone copy/slice ops (21% bucket at r04):
+    # find the largest copy/slice/concatenate shapes in the optimized HLO
+    big = []
+    try:
+        import re
+        hlo = compiled.as_text()
+        for m in re.finditer(
+                r"(copy|slice|concatenate)[.\d]*\s*=\s*"
+                r"(s32|f32|pred|u32)\[([\d,]*)\]", hlo):
+            dims = [int(x) for x in m.group(3).split(",") if x]
+            n = 1
+            for x in dims:
+                n *= x
+            big.append((n, m.group(1), dims))
+        big.sort(reverse=True)
+        big = [{"op": k, "shape": d,
+                "mb": round(n * 4 / 1e6, 1)} for n, k, d in big[:8]]
+    except Exception as e:  # HLO text unavailable on some backends
+        big = [str(e)]
+
     res = {
         "scene": "CBspheres", "chunk_spp": chunk,
         "step_s": round(step_s, 4),
@@ -92,6 +112,7 @@ def main():
         "hbm_peak_gbps": V5E_HBM_GBPS,
         "pct_vpu_peak": round(100 * flops / fus_s / 1e9 / V5E_VPU_GFLOPS, 1),
         "pct_hbm_peak": round(100 * byt / fus_s / 1e9 / V5E_HBM_GBPS, 1),
+        "largest_copy_slice_concat": big,
     }
     print(json.dumps(res, indent=1))
     os.makedirs("artifacts", exist_ok=True)
