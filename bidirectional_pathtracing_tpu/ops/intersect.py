@@ -633,19 +633,15 @@ def scene_occluded(scene, o, d, min_t, max_t):
         # an any-sphere test
         if n_t <= _PALLAS_MAX_TRIS:
             from bidirectional_pathtracing_tpu.ops.intersect_pallas import (
-                make_tri_soa, tri_closest_hit_pallas)
+                make_sph_soa, make_tri_soa, tri_closest_hit_pallas)
+            g = scene.geometry
             r = o.shape[0]
             min_b = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r,))
             max_b = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r,))
             _, slot = tri_closest_hit_pallas(
-                make_tri_soa(scene.geometry), o, d, min_b, max_b)
-            hit = slot >= 0
-            g = scene.geometry
-            if g.num_spheres > 0:
-                ts, hs = sphere_intersect_batch(
-                    o, d, g.sph_c, g.sph_r, min_b, max_b)
-                hit = hit | jnp.any(hs & g.sph_valid[None, :], axis=-1)
-            return hit
+                make_tri_soa(g), o, d, min_b, max_b,
+                sph_soa=make_sph_soa(g), num_tris=g.num_tris)
+            return slot >= 0
         return scene_intersect(scene, o, d, min_t, max_t).valid
     if scene.bvh is not None:
         return intersect_bvh(scene.geometry, scene.bvh, o, d, min_t, max_t,

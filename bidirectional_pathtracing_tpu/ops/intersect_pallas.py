@@ -15,7 +15,13 @@ The kernel returns (t, prim); shading data (normal via barycentrics,
 material) is gathered afterward with one extra single-triangle evaluation
 per ray — cheaper than carrying it through the reduction.
 
-Spheres (always few) are intersected with the jnp batch path and merged.
+Spheres are IN-KERNEL (closing the SURVEY section 2.2 Sphere [KERNEL]
+row): the scene's few spheres ride along as an SMEM scalar table and a
+statically-unrolled per-sphere quadratic tail after the triangle chunks
+(~25 VPU flops/ray/sphere — noise next to one 128-triangle chunk),
+replicating the reference's nearer-in-range-root rule (sphere.cpp:11-57)
+and the jnp merge's tie-breaks: triangles beat sphere ties, lower sphere
+index wins sphere ties.  Winners carry global prim ids >= num_tris.
 """
 
 from __future__ import annotations
@@ -36,7 +42,8 @@ TILE_R = 512
 TRI_CHUNK = 128
 
 
-def _tri_kernel(rays_ref, tris_ref, t_ref, idx_ref, *, n_chunks):
+def _tri_kernel(rays_ref, tris_ref, sph_ref, t_ref, idx_ref, *, n_chunks,
+                n_spheres, n_tris):
     o = [rays_ref[i, :] for i in range(3)]          # [TILE_R]
     d = [rays_ref[3 + i, :] for i in range(3)]
     min_t = rays_ref[6, :]
@@ -85,16 +92,50 @@ def _tri_kernel(rays_ref, tris_ref, t_ref, idx_ref, *, n_chunks):
     best_i = jnp.full((TILE_R,), -1.0, jnp.float32)
     best_t, best_i = jax.lax.fori_loop(0, n_chunks, chunk_body,
                                        (best_t, best_i))
+
+    # sphere tail: static unroll over the (few) scene spheres, quadratic
+    # with the nearer-in-range root (sphere.cpp:11-57).  Strict < keeps
+    # the jnp merge's tie-breaks (triangles win ties; lower sphere index
+    # wins — ascending q with strict <).
+    a_d = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    for q in range(n_spheres):
+        cx, cy, cz = sph_ref[0, q], sph_ref[1, q], sph_ref[2, q]
+        rr, valid = sph_ref[3, q], sph_ref[4, q]
+        ocx, ocy, ocz = o[0] - cx, o[1] - cy, o[2] - cz
+        b = 2.0 * (ocx * d[0] + ocy * d[1] + ocz * d[2])
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
+        delta = b * b - 4.0 * a_d * cc
+        sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+        t1 = (-b - sq) / (2.0 * a_d)
+        t2 = (-b + sq) / (2.0 * a_d)
+        lim = jnp.minimum(max_t, best_t)
+        in1 = (t1 >= min_t) & (t1 <= lim)
+        in2 = (t2 >= min_t) & (t2 <= lim)
+        ts = jnp.where(in1, t1, t2)
+        ok = (valid > 0.0) & (delta >= 0.0) & (in1 | in2)
+        ts = jnp.where(ok, ts, INF_D)
+        closer = ts < best_t
+        best_i = jnp.where(closer, jnp.float32(n_tris + q), best_i)
+        best_t = jnp.where(closer, ts, best_t)
+
     t_ref[0, :] = best_t
     idx_ref[0, :] = best_i
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def tri_closest_hit_pallas(tri_soa, o, d, min_t, max_t, interpret=False):
+@functools.partial(jax.jit, static_argnames=("num_tris", "interpret"))
+def tri_closest_hit_pallas(tri_soa, o, d, min_t, max_t, sph_soa=None,
+                           num_tris=None, interpret=False):
     """tri_soa: [9, Tpad] transposed triangle vertices.  Returns
-    (t [R], prim f32 [R] with -1 for miss)."""
+    (t [R], prim f32 [R] with -1 for miss).
+
+    sph_soa: optional [5, Q] SMEM sphere table (cx cy cz r valid) +
+    static num_tris — spheres are then tested in-kernel and winners get
+    global prim ids num_tris + q."""
     r = o.shape[0]
     rp = _ceil_to(r, TILE_R)
+    n_spheres = 0 if sph_soa is None else sph_soa.shape[1]
+    if sph_soa is None:
+        sph_soa = jnp.zeros((5, 1), jnp.float32)
 
     def pad(a, fill=0.0):
         return jnp.concatenate(
@@ -109,13 +150,16 @@ def tri_closest_hit_pallas(tri_soa, o, d, min_t, max_t, interpret=False):
     n_chunks = tri_soa.shape[1] // TRI_CHUNK
 
     t, idx = pl.pallas_call(
-        functools.partial(_tri_kernel, n_chunks=n_chunks),
+        functools.partial(_tri_kernel, n_chunks=n_chunks,
+                          n_spheres=n_spheres, n_tris=num_tris or 0),
         grid=(rp // TILE_R,),
         in_specs=[
             pl.BlockSpec((8, TILE_R), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, tri_soa.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(sph_soa.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE_R), lambda i: (0, i),
@@ -128,8 +172,18 @@ def tri_closest_hit_pallas(tri_soa, o, d, min_t, max_t, interpret=False):
             jax.ShapeDtypeStruct((1, rp), jnp.float32),
         ],
         interpret=interpret,
-    )(rays, tri_soa)
+    )(rays, tri_soa, sph_soa)
     return t[0, :r], idx[0, :r]
+
+
+def make_sph_soa(geom: Geometry):
+    """[5, Q] sphere table (cx cy cz r valid) for the in-kernel sphere
+    tail, or None when the scene has no spheres."""
+    if geom.num_spheres == 0:
+        return None
+    return jnp.concatenate([
+        geom.sph_c.T, geom.sph_r[None, :],
+        geom.sph_valid[None, :].astype(jnp.float32)]).astype(jnp.float32)
 
 
 def make_tri_soa(geom: Geometry):
@@ -170,14 +224,19 @@ def _resolve_table(geom: Geometry):
 
 def intersect_pallas(geom: Geometry, tri_soa, o, d, min_t, max_t,
                      interpret=False) -> Hit:
-    """Closest-hit via the Pallas triangle kernel + jnp spheres."""
+    """Closest-hit via the Pallas kernel (triangles + in-kernel spheres)."""
     r = o.shape[0]
+    num_t = geom.num_tris
     min_b = jnp.broadcast_to(jnp.asarray(min_t, o.dtype), (r,))
     max_b = jnp.broadcast_to(jnp.asarray(max_t, o.dtype), (r,))
     t, fidx = tri_closest_hit_pallas(tri_soa, o, d, min_b, max_b,
-                                     interpret=interpret)
-    tid = jnp.clip(fidx.astype(jnp.int32), 0, geom.num_tris - 1)
-    tri_hit = (fidx >= 0) & (t < INF_D)
+                                     sph_soa=make_sph_soa(geom),
+                                     num_tris=num_t, interpret=interpret)
+    fi = fidx.astype(jnp.int32)
+    found = (fi >= 0) & (t < INF_D)
+    sph_hit = found & (fi >= num_t)
+    tri_hit = found & (fi < num_t)
+    tid = jnp.clip(fi, 0, num_t - 1)
 
     # recompute barycentrics/normal for the winning triangle only
     if geom.num_tris <= ONEHOT_RESOLVE_MAX_TRIS:
@@ -205,15 +264,25 @@ def intersect_pallas(geom: Geometry, tri_soa, o, d, min_t, max_t,
     n_tri = n_tri / jnp.maximum(
         jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-20)
 
-    best_t = jnp.where(tri_hit, t, INF_D)
+    best_t = jnp.where(found, t, INF_D)
     best_n = jnp.where(tri_hit[:, None], n_tri, 0.0)
     best_mat = jnp.where(tri_hit, mat_tri, -1)
-    best_prim = jnp.where(tri_hit, tid, -1)
+    best_prim = jnp.where(found, fi, -1)
 
     if geom.num_spheres > 0:
-        from bidirectional_pathtracing_tpu.ops.intersect import sphere_merge
-        best_t, best_n, best_mat, best_prim = sphere_merge(
-            geom, o, d, min_b, max_b, best_t, best_n, best_mat, best_prim,
-            jnp.int32(geom.num_tris))
+        # sphere-winner resolve: analytic normal from the hit point,
+        # attributes via static per-sphere selects (tiny table)
+        sc = jnp.zeros((r, 3), o.dtype)
+        smat = jnp.zeros((r,), jnp.int32)
+        for k in range(geom.num_spheres - 1, -1, -1):
+            w = fi == num_t + k
+            sc = jnp.where(w[:, None], geom.sph_c[k], sc)
+            smat = jnp.where(w, geom.sph_mat[k], smat)
+        p_hit = o + best_t[:, None] * d
+        n_sph = p_hit - sc
+        n_sph = n_sph / jnp.maximum(
+            jnp.linalg.norm(n_sph, axis=-1, keepdims=True), 1e-20)
+        best_n = jnp.where(sph_hit[:, None], n_sph, best_n)
+        best_mat = jnp.where(sph_hit, smat, best_mat)
     return Hit(t=best_t, valid=best_t < INF_D, n=best_n, mat=best_mat,
                prim=best_prim)

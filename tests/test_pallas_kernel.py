@@ -29,3 +29,8 @@ def test_pallas_matches_brute_force():
                                   np.asarray(ref.mat)[m])
     np.testing.assert_allclose(np.asarray(pk.n)[m], np.asarray(ref.n)[m],
                                atol=1e-5)
+    # global prim ids incl. the in-kernel sphere winners (>= num_tris)
+    np.testing.assert_array_equal(np.asarray(pk.prim)[m],
+                                  np.asarray(ref.prim)[m])
+    assert (np.asarray(pk.prim)[m] >= geom.num_tris).any(), \
+        "expected some sphere winners in the cornell box"
