@@ -282,6 +282,28 @@ def _mis_tables(scene: Scene, eye: Subpath, light: Subpath | None,
                                   light.pos[:, i], light.n[:, i])
             t["D_l"][i] = (_is_delta(scene, light.mat[:, i])
                            | _is_delta(scene, light.mat[:, i - 1]))
+
+    # Suffix-square sums for the table-form weight (see _mis_weight):
+    #   W_e[k] = sum_{i=2}^{k-2} Dbar_e[i] * (prod_{j=i}^{k-2} a_e[j])^2
+    # with a_e[j] = A_e[j]/max(B_e[j], eps) and Dbar = 1 - delta-skip,
+    # via the O(nv) recurrence W(k+1) = a[k-1]^2 * (W(k) + Dbar[k-1]) —
+    # zeros in a (delta vertices) propagate exactly like the sequential
+    # walk's dead ratios.  Light side: W_l[k] analogous with i down to 1.
+    zero = jnp.zeros((s,))
+
+    def _suffix_sums(A, B, D, lo):
+        a = {j: A[j] / jnp.maximum(B[j], 1e-20) for j in A}
+        dbar = {j: jnp.where(D[j], 0.0, 1.0) for j in D}
+        w = {lo: zero, lo + 1: zero}
+        for k in range(lo + 1, nv):
+            prev = a[k - 1] * a[k - 1] * (w[k] + dbar[k - 1]) \
+                if (k - 1) in a else zero
+            w[k + 1] = prev
+        return w
+
+    t["W_e"] = _suffix_sums(t["A_e"], t["B_e"], t["D_e"], 2)
+    if light is not None:
+        t["W_l"] = _suffix_sums(t["A_l"], t["B_l"], t["D_l"], 1)
     return t
 
 
@@ -333,6 +355,15 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
     bright limb block versus three converging referees (hemisphere-PT,
     MIS-PT, and BDPT's own (3,0) family).  Default False = price the
     fresh point (Veach-correct); True only for reference path replay.
+
+    TABLE FORM (r05): each walk's interior is a geometric accumulation —
+    ratio(i) = C * prod_{j=i}^{end-2} a[j] with a[j] = A[j]/B[j] — so
+    the per-combo sum collapses to O(1) using the precomputed
+    suffix-square sums W (_mis_tables): only the two junction factors
+    (combo-specific pdfs) are evaluated per combo, cutting the traced
+    elementwise op count of the 42-combo grid ~2x.  Algebraically equal
+    to the sequential walk, kept as _mis_weight_walk and pinned by
+    tests/test_mis.py::test_table_form_matches_walk.
     """
     s = eye.pos.shape[0]
     if tables is None:
@@ -341,8 +372,97 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
     w_inv = jnp.ones((s,))
     found, eol_point_pdf, eol_dir_pdf_fn = eye_on_light_pdfs
 
+    def dbar(tab, i):
+        return jnp.where(tab[i], 0.0, 1.0)
+
     # positions the junction-adjacent steps arrive from (the other
     # subpath's endpoint for this combo)
+    if i_light >= 1:
+        light_end_pos = (light_sample["pos"] if i_light == 1
+                         else light.pos[:, i_light])
+    eye_end_pos = (eye_sample["pos"] if i_eye == 1 else eye.pos[:, i_eye])
+
+    # --- eye side: junction ratio + one junction-adjacent factor + W ------
+    if i_eye >= 2:
+        if i_light == 0:
+            nomj = jnp.where(found, eol_point_pdf, jnp.nan)
+        else:
+            prev = light_sample if i_light == 1 else _vert(light, i_light)
+            nomj = _junction_pg(scene, prev, light.pos[:, i_light - 1],
+                                eye.pos[:, i_eye], eye.n[:, i_eye],
+                                use_dir_pdf=(i_light == 1))
+        r_e = nomj / jnp.maximum(tables["B_e"][i_eye], 1e-20)
+        w_inv = w_inv + dbar(tables["D_e"], i_eye) * r_e * r_e
+        if i_eye >= 3:
+            i = i_eye - 1
+            if i_light == 0:
+                # the on-light vertex emits toward eye[i]: light dir pdf * G
+                wi, dist = _seg(eye.pos[:, i + 1], eye.pos[:, i])
+                g = jnp.abs(jnp.sum(wi * eye.n[:, i + 1], axis=-1)
+                            * jnp.sum(wi * eye.n[:, i], axis=-1)) \
+                    / jnp.maximum(dist * dist, 1e-12)
+                nom2 = eol_dir_pdf_fn(wi) * g
+            else:
+                # alternative samples eye[i] from eye[i+1], which it
+                # reached FROM the light-side endpoint of this combo
+                nom2 = _pg(scene, eye.pos[:, i + 1], eye.n[:, i + 1],
+                           eye.mat[:, i + 1], light_end_pos,
+                           eye.pos[:, i], eye.n[:, i])
+            c_e = r_e * nom2 / jnp.maximum(tables["B_e"][i], 1e-20)
+            w_inv = w_inv + c_e * c_e * (dbar(tables["D_e"], i)
+                                         + tables["W_e"][i_eye])
+
+    # --- light side -------------------------------------------------------
+    if i_light >= 1:
+        prev = eye_sample if i_eye == 1 else _vert(eye, i_eye)
+        if i_light == 1 and not t1_reference:
+            # the t=1 path's light vertex IS the fresh sample; price it
+            cur_pos, cur_n = light_sample["pos"], light_sample["n"]
+            denj = light_sample["p"]
+        else:
+            cur_pos, cur_n = light.pos[:, i_light], light.n[:, i_light]
+            denj = tables["B_l"][i_light]
+        nomj = _junction_pg(scene, prev, eye.pos[:, i_eye - 1],
+                            cur_pos, cur_n, use_dir_pdf=(i_eye <= 1))
+        r_l = nomj / jnp.maximum(denj, 1e-20)
+        w_inv = w_inv + dbar(tables["D_l"], i_light) * r_l * r_l
+        if i_light >= 2:
+            i = i_light - 1
+            # alternative samples light[i] from light[i+1], reached FROM
+            # the eye-side endpoint of this combo
+            nom2 = _pg(scene, light.pos[:, i + 1], light.n[:, i + 1],
+                       light.mat[:, i + 1], eye_end_pos,
+                       light.pos[:, i], light.n[:, i])
+            c_l = r_l * nom2 / jnp.maximum(tables["B_l"][i], 1e-20)
+            w_inv = w_inv + c_l * c_l * (dbar(tables["D_l"], i)
+                                         + tables["W_l"][i_light])
+
+    w = 1.0 / w_inv
+    if i_light == 0:
+        w = jnp.where(found, w, 0.0)
+    w = jnp.where(jnp.isfinite(w), w, 0.0)
+    # MIS weights form a partition of unity for any fixed path; detach so
+    # parameter gradients flow through contributions only.
+    return jax.lax.stop_gradient(w)
+
+
+def _mis_weight_walk(scene: Scene, i_eye: int, i_light: int,
+                     eye: Subpath, light: Subpath,
+                     light_sample: dict | None, eye_sample: dict | None,
+                     eye_on_light_pdfs, tables: dict | None = None,
+                     consistent_camera: bool = False,
+                     t1_reference: bool = False):
+    """The sequential pdf-ratio walk form of _mis_weight — the direct
+    restructuring of the reference's loop (bidirection.cpp:121-293).
+    Algebraically identical to the table form; kept as its oracle
+    (tests/test_mis.py::test_table_form_matches_walk)."""
+    s = eye.pos.shape[0]
+    if tables is None:
+        tables = _mis_tables(scene, eye, light,
+                             consistent_camera=consistent_camera)
+    w_inv = jnp.ones((s,))
+    found, eol_point_pdf, eol_dir_pdf_fn = eye_on_light_pdfs
+
     if i_light >= 1:
         light_end_pos = (light_sample["pos"] if i_light == 1
                          else light.pos[:, i_light])
@@ -360,15 +480,12 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
                                    eye.pos[:, i], eye.n[:, i],
                                    use_dir_pdf=(i_light == 1))
         elif i == i_eye - 1 and i_light == 0:
-            # the on-light vertex emits toward eye[i]: light dir pdf * G
             wi, dist = _seg(eye.pos[:, i + 1], eye.pos[:, i])
             g = jnp.abs(jnp.sum(wi * eye.n[:, i + 1], axis=-1)
                         * jnp.sum(wi * eye.n[:, i], axis=-1)) \
                 / jnp.maximum(dist * dist, 1e-12)
             nom = eol_dir_pdf_fn(wi) * g
         elif i == i_eye - 1:
-            # alternative samples eye[i] from eye[i+1], which it reached
-            # FROM the light-side endpoint of this combo
             nom = _pg(scene, eye.pos[:, i + 1], eye.n[:, i + 1],
                       eye.mat[:, i + 1], light_end_pos,
                       eye.pos[:, i], eye.n[:, i])
@@ -383,7 +500,6 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
         if i == i_light:
             prev = eye_sample if i_eye == 1 else _vert(eye, i_eye)
             if i_light == 1 and not t1_reference:
-                # the t=1 path's light vertex IS the fresh sample; price it
                 cur_pos, cur_n = light_sample["pos"], light_sample["n"]
             else:
                 cur_pos, cur_n = light.pos[:, i], light.n[:, i]
@@ -391,16 +507,12 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
                                cur_pos, cur_n,
                                use_dir_pdf=(i_eye <= 1))
         elif i == i_light - 1:
-            # alternative samples light[i] from light[i+1], reached FROM
-            # the eye-side endpoint of this combo
             nom = _pg(scene, light.pos[:, i + 1], light.n[:, i + 1],
                       light.mat[:, i + 1], eye_end_pos,
                       light.pos[:, i], light.n[:, i])
         else:
             nom = tables["A_l"][i]
         if i == 1 and i_light == 1 and not t1_reference:
-            # ... and divide by the fresh sample's own area pdf (differs
-            # from the subpath's B_l[1] when lights have unequal areas)
             denom = light_sample["p"]
         else:
             denom = tables["B_l"][i]
@@ -411,8 +523,6 @@ def _mis_weight(scene: Scene, i_eye: int, i_light: int,
     if i_light == 0:
         w = jnp.where(found, w, 0.0)
     w = jnp.where(jnp.isfinite(w), w, 0.0)
-    # MIS weights form a partition of unity for any fixed path; detach so
-    # parameter gradients flow through contributions only.
     return jax.lax.stop_gradient(w)
 
 

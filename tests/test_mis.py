@@ -66,7 +66,12 @@ def test_mis_weights_consistent_camera(path_spec):
     _check_partition(path_spec, consistent_camera=True, tol=2e-3)
 
 
-def _check_partition(path_spec, consistent_camera, tol, interior_mat=0):
+def _check_partition(path_spec, consistent_camera, tol, interior_mat=0,
+                     weight_fn=None, check=True):
+    """Compute the (s,t) weights of the fixed path with `weight_fn`
+    (default bdpt._mis_weight) and, with check=True, assert the
+    partition of unity to `tol`.  Returns the weights dict."""
+    weight_fn = weight_fn or bdpt._mis_weight
     scene = make_cornell_box()
     cam_pos = np.asarray(scene.camera.pos)
     light_n = np.array([0, -1.0, 0])
@@ -141,11 +146,13 @@ def _check_partition(path_spec, consistent_camera, tol, interior_mat=0):
             eol3 = (jnp.zeros((1,), bool), jnp.zeros((1,)),
                     lambda _: jnp.zeros((1,)))
 
-        w = bdpt._mis_weight(scene, s, t, eye, light, light_sample,
-                             eye_sample, eol3,
-                             consistent_camera=consistent_camera)
+        w = weight_fn(scene, s, t, eye, light, light_sample,
+                      eye_sample, eol3,
+                      consistent_camera=consistent_camera)
         weights[(s, t)] = float(w[0])
 
+    if not check:
+        return weights
     total = sum(weights.values())
     assert all(0.0 <= v <= 1.0 + 1e-4 for v in weights.values()), weights
     # The reference's camera-pdf convention is internally inconsistent by a
@@ -156,6 +163,25 @@ def _check_partition(path_spec, consistent_camera, tol, interior_mat=0):
     # reference exactly (verified via path replay), so the partition of
     # unity holds only to a few percent near the view axis.
     assert abs(total - 1.0) < tol, (weights, total)
+    return weights
+
+
+@pytest.mark.parametrize("path_spec", ["floor_back", "wall_floor_back"])
+@pytest.mark.parametrize("interior_mat", [0, 7, 5])
+def test_table_form_matches_walk(path_spec, interior_mat):
+    """The r05 table-form _mis_weight (O(1) per combo via suffix-square
+    sums) equals the sequential pdf-ratio walk on every (s,t) strategy —
+    diffuse interiors, microfacet interiors (id 7), and MIRROR interiors
+    (id 5: delta-skip masks and dead-ratio zero propagation, where the
+    naive quotient form of the suffix products would produce 0/0)."""
+    kw = dict(consistent_camera=True, tol=0.0, check=False,
+              interior_mat=interior_mat)
+    wt = _check_partition(path_spec, weight_fn=bdpt._mis_weight, **kw)
+    ww = _check_partition(path_spec, weight_fn=bdpt._mis_weight_walk, **kw)
+    assert wt.keys() == ww.keys()
+    for k in wt:
+        assert abs(wt[k] - ww[k]) <= 1e-5 + 1e-4 * abs(ww[k]), \
+            (k, wt[k], ww[k])
 
 
 def test_consistent_camera_config_wiring_fast():
