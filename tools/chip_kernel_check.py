@@ -1,10 +1,18 @@
-"""On-chip clustered-kernel golden check (VERDICT r02 item 8).
+"""On-chip kernel golden check (VERDICT r02 item 8; brute section r05).
 
-Runs the clustered closest-hit and any-hit Pallas kernels ON THE REAL TPU
-against the exhaustive jnp oracle (ops/intersect.intersect) for CBbunny
-geometry with three ray populations (camera-coherent, hit-point bounce,
-segment-clipped shadow).  Exits nonzero on any mismatch; prints one JSON
-line with the comparison counts and writes artifacts/CHIP_KERNEL_CHECK.json.
+Runs the Pallas intersection kernels ON THE REAL TPU against the
+exhaustive jnp oracle (ops/intersect.intersect):
+
+  - clustered closest-hit + any-hit on CBbunny geometry with three ray
+    populations (camera-coherent, hit-point bounce, segment-clipped
+    shadow);
+  - the brute kernel on CBspheres geometry (12 tris + 2 spheres),
+    exercising the r05 in-kernel sphere tail and the one-hot MXU winner
+    resolve (prim ids, mats, interpolated/analytic normals) plus the
+    resolve-free any-hit slot test.
+
+Exits nonzero on any mismatch; prints one JSON line with the comparison
+counts and writes artifacts/CHIP_KERNEL_CHECK.json.
 
 Driven by tests/test_chip.py (subprocess, so the pytest process can keep
 its forced-CPU backend) and run standalone in the bench environment:
@@ -93,6 +101,64 @@ def main():
         "rays": n, "occluded": int(np.asarray(ref_any).sum()),
         "equal": ok_any}
     rc |= 0 if ok_any else 1
+
+    # --- brute kernel on CBspheres: in-kernel spheres + one-hot resolve ---
+    from bidirectional_pathtracing_tpu.ops.intersect_pallas import (
+        intersect_pallas, make_sph_soa, make_tri_soa, tri_closest_hit_pallas)
+    scene_s, aux_s = load_scene("/root/reference/dae/sky/CBspheres.dae",
+                                480, 360)
+    geom_s = scene_s.geometry
+    tri_soa = make_tri_soa(geom_s)
+    cam_s = np.asarray(scene_s.camera.pos)
+    tgt = rng.uniform([-1, 0, -1], [1, 2, 1], (n, 3))
+    d_cs = tgt - cam_s
+    d_cs /= np.linalg.norm(d_cs, axis=-1, keepdims=True)
+    o_cs = np.broadcast_to(cam_s, (n, 3)).astype(np.float32)
+    brute = {"tris": int(geom_s.num_tris),
+             "spheres": int(geom_s.num_spheres), "cases": {}}
+    for name, (o, d) in (("camera", (o_cs, d_cs.astype(np.float32))),
+                         ("bounce", (o_rnd, d_rnd.astype(np.float32)))):
+        o, d = jnp.asarray(o), jnp.asarray(d)
+        t0 = time.perf_counter()
+        got = jax.block_until_ready(
+            intersect_pallas(geom_s, tri_soa, o, d, 1e-4, INF_D))
+        dt = time.perf_counter() - t0
+        ref = intersect(geom_s, o, d, 1e-4, INF_D)
+        ok_valid = bool((np.asarray(got.valid) == np.asarray(ref.valid)).all())
+        ok_prim = bool((np.asarray(got.prim) == np.asarray(ref.prim)).all())
+        ok_mat = bool((np.asarray(got.mat) == np.asarray(ref.mat)).all())
+        # t/n tolerances: the kernel's scalar-chain quadratic and the
+        # oracle's jnp.sum reduce in different f32 association orders;
+        # on far-origin grazing sphere hits that seeds ~1e-5 relative t
+        # drift (measured max 1.2e-5, winners bitwise equal) which the
+        # 1/r normal map amplifies to ~2e-4 per component.
+        ok_t = bool(np.allclose(np.asarray(got.t), np.asarray(ref.t),
+                                rtol=1e-4))
+        hv = np.asarray(ref.valid)
+        ok_n = bool(np.allclose(np.asarray(got.n)[hv], np.asarray(ref.n)[hv],
+                                atol=1e-3))
+        brute["cases"][name] = {
+            "rays": n, "hits": int(hv.sum()),
+            "sphere_hits": int((np.asarray(ref.prim) >= geom_s.num_tris).sum()),
+            "valid_equal": ok_valid, "prim_equal": ok_prim,
+            "mat_equal": ok_mat, "t_close": ok_t, "n_close": ok_n,
+            "first_launch_s": round(dt, 3)}
+        rc |= 0 if (ok_valid and ok_prim and ok_mat and ok_t and ok_n) else 1
+
+    # resolve-free any-hit: slot >= 0 against the oracle's windowed hit
+    min_b = jnp.full((n,), 1e-3, jnp.float32)
+    _, slot = tri_closest_hit_pallas(
+        tri_soa, jnp.asarray(o_rnd), jnp.asarray(d_rnd.astype(np.float32)),
+        min_b, max_t, sph_soa=make_sph_soa(geom_s), num_tris=geom_s.num_tris)
+    got_any = np.asarray(slot) >= 0
+    ref_any = np.asarray(occluded(geom_s, jnp.asarray(o_rnd),
+                                  jnp.asarray(d_rnd.astype(np.float32)),
+                                  1e-3, max_t))
+    ok_any = bool((got_any == ref_any).all())
+    brute["cases"]["shadow_any_hit"] = {
+        "rays": n, "occluded": int(ref_any.sum()), "equal": ok_any}
+    rc |= 0 if ok_any else 1
+    report["brute"] = brute
 
     report["ok"] = rc == 0
     os.makedirs("artifacts", exist_ok=True)
